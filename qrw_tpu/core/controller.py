@@ -1,0 +1,276 @@
+"""Main controller: the full 500 Hz tick as one pure, jittable function.
+
+Re-design of the reference Controller (scripts/Controller.py:200-330) —
+the per-tick pipeline
+
+  velocity command -> estimator -> hybrid state update -> gait roll ->
+  footstep planner -> swing trajectories -> state planner -> MPC (every
+  k_mpc ticks, via lax.cond) -> WBC target assembly -> frame transforms ->
+  whole-body controller -> joint PD setpoints + feedforward torques ->
+  security check
+
+— with every mutable reference attribute moved into an explicit
+ControllerState pytree. `compute` jits and vmaps over scenario batches;
+the dual-rate MPC runs under lax.cond so only every k_mpc-th tick pays
+for the QP solve, reproducing the synchronous path of the reference
+(scripts/MPC_Wrapper.py:128-148). The quirks of the reference are kept
+deliberately (and marked): the one-tick-stale foot position/velocity used
+in the Coriolis terms (scripts/Controller.py:286-296) and the "perfect
+odometry" hybrid x/y/yaw integration (scripts/Controller.py:381-426).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from qrw_tpu.config import Config
+from qrw_tpu.core import gait as gait_mod
+from qrw_tpu.core import mpc as mpc_mod
+from qrw_tpu.core import wbc as wbc_mod
+from qrw_tpu.core.estimator import (DeviceData, EstimatorState,
+                                    init_estimator_state, run_filter)
+from qrw_tpu.core.foot_trajectory import (FootTrajState,
+                                          make_foot_traj_state,
+                                          update_foot_trajectory)
+from qrw_tpu.core.footstep import (FootstepState, make_footstep_state,
+                                   update_footsteps)
+from qrw_tpu.core.joystick import v_ref_profile
+from qrw_tpu.core.state_planner import compute_reference_states
+from qrw_tpu.models.solo12 import H_INIT, make_solo12
+from qrw_tpu.ops import qp, rbd
+from qrw_tpu.ops.rotations import rot_z, rpy_to_quat, rpy_to_rot
+
+SHOULDERS = np.array([[0.1946, 0.1946, -0.1946, -0.1946],
+                      [0.14695, -0.14695, 0.14695, -0.14695],
+                      [0.0, 0.0, 0.0, 0.0]])
+
+
+class Result(NamedTuple):
+    """Joint-level command sent to the device (scripts/Controller.py:16-28,
+    306-310)."""
+    P: jnp.ndarray       # (12,) proportional gains
+    D: jnp.ndarray       # (12,) derivative gains
+    q_des: jnp.ndarray   # (12,)
+    v_des: jnp.ndarray   # (12,)
+    tau_ff: jnp.ndarray  # (12,)
+
+
+class ControllerState(NamedTuple):
+    gait: gait_mod.GaitState
+    footstep: FootstepState
+    foot_traj: FootTrajState
+    estimator: EstimatorState
+    mpc: mpc_mod.MPCState
+    x_f_mpc: jnp.ndarray        # (24, N) latest MPC plan
+    wbc: wbc_mod.WBCState
+    q: jnp.ndarray              # (19,) hybrid state estimate
+    v: jnp.ndarray              # (18,)
+    h_v: jnp.ndarray            # (18,) velocity in horizontal frame
+    yaw_estim: jnp.ndarray      # ()
+    qdes: jnp.ndarray           # (12,) previous WBC joint targets
+    vdes: jnp.ndarray           # (12,)
+    feet_p_cmd: jnp.ndarray     # (3, 4) previous-tick foot refs (base frame)
+    feet_v_cmd: jnp.ndarray     # (3, 4)
+    error: jnp.ndarray          # () bool — security latch
+    error_code: jnp.ndarray     # () int32 (1 pos, 2 vel, 3 torque)
+
+
+class Controller(NamedTuple):
+    """Static controller context: config + model + solver settings."""
+    cfg: Config
+    model: rbd.JaxModel
+    patterns: jnp.ndarray
+    mpc_settings: qp.QPSettings
+    wbc_settings: qp.QPSettings
+
+
+def make_controller(cfg: Config,
+                    mpc_settings: Optional[qp.QPSettings] = None,
+                    wbc_settings: Optional[qp.QPSettings] = None
+                    ) -> Controller:
+    if mpc_settings is None:
+        mpc_settings = qp.QPSettings(
+            sigma=cfg.osqp_sigma, alpha=cfg.osqp_alpha, rho=cfg.osqp_rho,
+            eps_abs=cfg.osqp_eps_abs, eps_rel=cfg.osqp_eps_rel,
+            max_iter=cfg.mpc_max_iter,
+            adaptive_rho_interval=cfg.osqp_adaptive_rho_interval,
+            adaptive_rho_tolerance=cfg.osqp_adaptive_rho_tolerance)
+    if wbc_settings is None:
+        wbc_settings = qp.QPSettings(eps_abs=cfg.wbc_eps_abs,
+                                     eps_rel=cfg.wbc_eps_rel,
+                                     max_iter=cfg.wbc_max_iter)
+    return Controller(cfg=cfg, model=rbd.to_jax(make_solo12()),
+                      patterns=gait_mod.gait_patterns(cfg),
+                      mpc_settings=mpc_settings, wbc_settings=wbc_settings)
+
+
+def init_state(ctl: Controller, dtype=jnp.float32) -> ControllerState:
+    cfg = ctl.cfg
+    q_init = jnp.asarray(cfg.q_init, dtype)
+    q = jnp.concatenate([
+        jnp.asarray([0.0, 0.0, cfg.h_ref, 0.0, 0.0, 0.0, 1.0], dtype),
+        q_init])
+    # initial foot positions under the shoulders at ground level
+    p0 = jnp.asarray(np.vstack([SHOULDERS[:2], np.zeros((1, 4))]), dtype)
+    return ControllerState(
+        gait=jax.tree.map(lambda a: a.astype(dtype)
+                          if a.dtype != bool else a,
+                          gait_mod.make_gait(cfg, "trot")),
+        footstep=make_footstep_state(cfg, jnp.asarray(SHOULDERS, dtype)),
+        foot_traj=make_foot_traj_state(p0),
+        estimator=init_estimator_state(cfg, H_INIT, dtype),
+        mpc=mpc_mod.init_mpc_state(cfg, dtype),
+        x_f_mpc=jnp.zeros((24, cfg.n_steps), dtype),
+        wbc=wbc_mod.init_wbc_state(dtype),
+        q=q, v=jnp.zeros(18, dtype), h_v=jnp.zeros(18, dtype),
+        yaw_estim=jnp.zeros((), dtype),
+        qdes=q_init, vdes=jnp.zeros(12, dtype),
+        feet_p_cmd=jnp.zeros((3, 4), dtype),
+        feet_v_cmd=jnp.zeros((3, 4), dtype),
+        error=jnp.asarray(False),
+        error_code=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute(ctl: Controller, state: ControllerState, device: DeviceData,
+            k, v_ref6=None, joystick_code=0,
+            perfect_estimator: bool = False):
+    """One control tick (Controller.compute, scripts/Controller.py:200).
+
+    k: tick counter (traced ok). v_ref6: optional explicit (6,) velocity
+    command; defaults to the predefined profile cfg.velID. Returns
+    (new_state, Result)."""
+    cfg = ctl.cfg
+    model = ctl.model
+    dtype = state.q.dtype
+    k = jnp.asarray(k)
+    k_mpc = cfg.k_mpc
+
+    # ---- velocity command -------------------------------------------------
+    if v_ref6 is None:
+        v_ref6 = v_ref_profile(k, cfg.velID, dtype)
+    v_ref = jnp.concatenate([v_ref6.astype(dtype), jnp.zeros(12, dtype)])
+
+    # ---- estimator --------------------------------------------------------
+    est = run_filter(cfg, model, state.estimator, k, state.gait.current,
+                     device, state.foot_traj.position,
+                     perfect=perfect_estimator)
+
+    # ---- hybrid state update (Controller.updateState) ---------------------
+    cy, sy = jnp.cos(state.yaw_estim), jnp.sin(state.yaw_estim)
+    dxy = jnp.stack([cy * v_ref[0] - sy * v_ref[1],
+                     sy * v_ref[0] + cy * v_ref[1]]) * cfg.dt_wbc
+    q = state.q.at[0:2].add(dxy)
+    q = q.at[2].set(est.q_filt[2])
+    yaw_estim = state.yaw_estim + v_ref[5] * cfg.dt_wbc
+    quat = rpy_to_quat(jnp.stack([est.rpy[0], est.rpy[1], yaw_estim]))
+    q = q.at[3:7].set(quat)
+    q = q.at[7:].set(est.q_filt[7:])
+    v = est.v_filt
+    hRb = rpy_to_rot(jnp.stack([est.rpy[0], est.rpy[1],
+                                jnp.zeros((), dtype)]))
+    h_v = jnp.concatenate([hRb @ v[0:3], hRb @ v[3:6], v[6:]])
+    oRh = rot_z(yaw_estim)
+    oTh = jnp.stack([q[0], q[1], jnp.zeros((), dtype)])
+
+    # ---- gait -------------------------------------------------------------
+    gait = gait_mod.update_gait(state.gait, k, k_mpc, joystick_code,
+                                ctl.patterns.astype(dtype))
+
+    # ---- footstep planner -------------------------------------------------
+    refresh = ((k % k_mpc) == 0) & (k != 0)
+    fs_state, o_target, fsteps = update_footsteps(
+        cfg, jnp.asarray(SHOULDERS, dtype), gait, state.footstep, refresh,
+        (k_mpc - k % k_mpc).astype(dtype), q[0:7], h_v[0:6], v_ref[0:6])
+
+    # ---- swing trajectories ----------------------------------------------
+    ft_state = update_foot_trajectory(cfg, gait, state.foot_traj, k,
+                                      o_target)
+
+    # ---- reference states -------------------------------------------------
+    xref = compute_reference_states(q[0:7], h_v[0:6], v_ref[0:6],
+                                    dt_mpc=cfg.dt_mpc, n_steps=cfg.n_steps,
+                                    h_ref=cfg.h_ref)
+
+    # ---- MPC (solve every k_mpc ticks, keep latest plan otherwise) --------
+    def run_mpc(_):
+        res = mpc_mod.solve_mpc(cfg, xref, fsteps, state.mpc,
+                                ctl.mpc_settings)
+        return res.x_f_applied, res.state
+
+    def keep_mpc(_):
+        return state.x_f_mpc, state.mpc
+
+    x_f_mpc, mpc_state = lax.cond((k % k_mpc) == 0, run_mpc, keep_mpc,
+                                  None)
+
+    # ---- WBC target assembly (scripts/Controller.py:258-269) -------------
+    x_f_wbc = x_f_mpc[:, 0]
+    x_f_wbc = x_f_wbc.at[0].set(cfg.dt_wbc * xref[6, 1])
+    x_f_wbc = x_f_wbc.at[1].set(cfg.dt_wbc * xref[7, 1])
+    x_f_wbc = x_f_wbc.at[2].set(cfg.h_ref)
+    x_f_wbc = x_f_wbc.at[3:5].set(0.0)
+    x_f_wbc = x_f_wbc.at[5].set(cfg.dt_wbc * xref[11, 1])
+    x_f_wbc = x_f_wbc.at[6:12].set(xref[6:, 1])
+
+    # ---- foot references in base frame (scripts/Controller.py:286-296) ----
+    # NOTE: acceleration and velocity Coriolis terms intentionally use the
+    # PREVIOUS tick's feet_p_cmd / feet_v_cmd, like the reference.
+    w_ref = v_ref[3:6]
+    prev_p = state.feet_p_cmd
+    prev_v = state.feet_v_cmd
+    feet_a_cmd = (oRh.T @ ft_state.acceleration
+                  - jnp.cross(w_ref[None, :],
+                              jnp.cross(w_ref[None, :], prev_p.T)).T
+                  - 2.0 * jnp.cross(w_ref[None, :], prev_v.T).T)
+    feet_v_cmd = oRh.T @ ft_state.velocity
+    feet_v_cmd = (feet_v_cmd - v_ref[0:3, None]
+                  - jnp.cross(w_ref[None, :], prev_p.T).T)
+    h_ref_vec = jnp.stack([jnp.zeros((), dtype), jnp.zeros((), dtype),
+                           jnp.asarray(cfg.h_ref, dtype)])
+    feet_p_cmd = oRh.T @ (ft_state.position - h_ref_vec[:, None]
+                          - oTh[:, None])
+
+    # ---- whole-body controller -------------------------------------------
+    b_v = jnp.concatenate([v_ref[0:6], state.vdes])
+    wbc_res = wbc_mod.compute_wbc(
+        cfg, model, state.wbc, state.qdes, b_v, x_f_wbc[12:24],
+        gait.current[0], feet_p_cmd, feet_v_cmd, feet_a_cmd,
+        ctl.wbc_settings)
+
+    # ---- security check (scripts/Controller.py:341-365) -------------------
+    q_sec = jnp.asarray(np.tile(np.asarray(Config().q_security), 4), dtype)
+    err_pos = jnp.any(jnp.abs(est.q_filt[7:]) > q_sec)
+    err_vel = jnp.any(jnp.abs(est.v_secu) > cfg.v_security)
+    err_tau = jnp.any(jnp.abs(wbc_res.tau_ff) > cfg.tau_security)
+    new_err = state.error | err_pos | err_vel | err_tau
+    code = jnp.where(state.error, state.error_code,
+                     jnp.where(err_pos, 1,
+                               jnp.where(err_vel, 2,
+                                         jnp.where(err_tau, 3, 0)))
+                     .astype(jnp.int32))
+
+    ones = jnp.ones(12, dtype)
+    zeros = jnp.zeros(12, dtype)
+    result = Result(
+        P=jnp.where(new_err, zeros, cfg.joint_P * ones),
+        D=jnp.where(new_err, cfg.damping_D * ones, cfg.joint_D * ones),
+        q_des=jnp.where(new_err, zeros, wbc_res.qdes),
+        v_des=jnp.where(new_err, zeros, wbc_res.vdes),
+        tau_ff=jnp.where(new_err, zeros,
+                         cfg.tau_ff_scale * wbc_res.tau_ff),
+    )
+
+    new_state = ControllerState(
+        gait=gait, footstep=fs_state, foot_traj=ft_state,
+        estimator=est.state, mpc=mpc_state, x_f_mpc=x_f_mpc,
+        wbc=wbc_res.state, q=q, v=v, h_v=h_v, yaw_estim=yaw_estim,
+        qdes=wbc_res.qdes, vdes=wbc_res.vdes,
+        feet_p_cmd=feet_p_cmd, feet_v_cmd=feet_v_cmd,
+        error=new_err, error_code=code)
+    return new_state, result

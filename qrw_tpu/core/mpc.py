@@ -1,0 +1,202 @@
+"""Centroidal convex MPC, condensed and batched for the MXU.
+
+Re-design of the reference MPC (src/MPC.cpp) with the key structural
+change promised in SURVEY.md section 7: instead of the reference's sparse
+QP over X = [states(12N); forces(12N)] with 24N dynamics-equality rows
+(src/MPC.cpp:74-146), the states are eliminated *analytically*. The SRB
+discrete dynamics x_{k+1} = A x_k + B_k f_k + g with A = I + dt*E and E
+strictly nilpotent (E^2 = 0, src/MPC.cpp:89-97) give the closed form
+A^p = I + p*dt*E, so the stacked state response is
+
+    dx = G f + h,   G[k, j] = A^(k-1-j) B_j  (block lower triangular),
+
+and the QP becomes 12N = 192 variables with only the friction-pyramid and
+force-activation rows left:
+
+    min_f 1/2 f' (G'WG + R) f + (G'W h)' f
+    s.t.  friction-cone rows per (step, foot)   (src/MPC.cpp:127-146)
+          identity rows: swing-foot forces == 0  (src/MPC.cpp:294-297,
+          the S_gait mechanism, here expressed as l = u = 0 box rows)
+          0 <= fz <= 25                         (src/MPC.cpp:293-297)
+
+This is mathematically exact (the eliminated constraints are equalities)
+and shrinks the per-iteration work ~6x while making the constraint matrix
+CONSTANT across problems and solves — on TPU the ADMM iteration becomes
+two shared-weight matmuls plus one batched K^-1 matvec.
+
+Cost weights, friction coefficient, force bounds, gravity handling and the
+24 x N result layout (states relative to xref columns 1..N, then forces)
+match src/MPC.cpp:317-391,569-599 exactly. B_k uses the yaw-rotated
+inertia and CoM-offset lever arms of the update path
+(src/MPC.cpp:439-461).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from qrw_tpu.config import Config
+from qrw_tpu.ops import qp
+from qrw_tpu.ops.rotations import skew
+
+
+# ----------------------------------------------------------------------
+# Constant problem data (host-side, cached per config)
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def cone_matrix(n_steps: int, mu: float) -> np.ndarray:
+    """(32N, 12N) constant constraint matrix: 20N friction rows stacked
+    over 12N identity (activation) rows. Row order per (step, foot):
+    [fx - mu fz; -fx - mu fz; fy - mu fz; -fy - mu fz; -fz]
+    (the C pattern of src/MPC.cpp:135-146)."""
+    C = np.array([
+        [1.0, 0.0, -mu],
+        [-1.0, 0.0, -mu],
+        [0.0, 1.0, -mu],
+        [0.0, -1.0, -mu],
+        [0.0, 0.0, -1.0],
+    ])
+    F = np.zeros((20 * n_steps, 12 * n_steps))
+    for k in range(n_steps):
+        for i in range(4):
+            F[20 * k + 5 * i:20 * k + 5 * i + 5,
+              12 * k + 3 * i:12 * k + 3 * i + 3] = C
+    return np.vstack([F, np.eye(12 * n_steps)])
+
+
+def _state_weights(cfg: Config) -> np.ndarray:
+    return np.tile(np.asarray(cfg.w_state), cfg.n_steps)
+
+
+class MPCState(NamedTuple):
+    """Warm-start carry, mirroring OSQP's persistent workspace between
+    successive osqp_solve calls (src/MPC.cpp:547-556)."""
+    f: jnp.ndarray   # (12N,) previous force solution
+    y: jnp.ndarray   # (32N,) previous dual
+
+
+def init_mpc_state(cfg: Config, dtype=jnp.float32) -> MPCState:
+    return MPCState(f=jnp.zeros(12 * cfg.n_steps, dtype),
+                    y=jnp.zeros(32 * cfg.n_steps, dtype))
+
+
+class MPCResult(NamedTuple):
+    x_f_applied: jnp.ndarray  # (24, N): predicted states then forces
+    state: MPCState
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def gait_from_fsteps(fsteps: jnp.ndarray, n_steps: int) -> jnp.ndarray:
+    """(N, 4) contact flags reconstructed from the footstep matrix — zeros
+    in the x coordinate mean swing (MPC::construct_gait,
+    src/MPC.cpp:686-701)."""
+    return (fsteps[:n_steps, 0::3] != 0.0).astype(fsteps.dtype)
+
+
+def build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
+    """Condensed QP data from the planner outputs.
+
+    xref: (12, N+1) reference states (column 0 = current state x0)
+    fsteps: (N_gait, 12) footstep plan rows [foot0 xyz, foot1 xyz, ...]
+    Returns (H, qlin, l, u, G, h) — G/h recover dx = G f + h.
+    """
+    N = cfg.n_steps
+    dt = cfg.dt_mpc
+    dtype = xref.dtype
+    gait = gait_from_fsteps(fsteps, N)                      # (N, 4)
+    gI = jnp.asarray(np.asarray(cfg.gI).reshape(3, 3), dtype)
+
+    # ---- per-step input matrices (only rows 6:12 of B are nonzero) -------
+    yaw = xref[5, :N]                                        # (N,)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    Rz = jnp.stack([jnp.stack([c, -s, z], -1),
+                    jnp.stack([s, c, z], -1),
+                    jnp.stack([z, z, o], -1)], -2)           # (N, 3, 3)
+    RgIR = jnp.einsum("kji,jl,klm->kim", Rz, gI, Rz)         # R' gI R
+    I_inv = jnp.linalg.inv(RgIR)                             # (N, 3, 3)
+
+    feet = fsteps[:N].reshape(N, 4, 3)                       # (N, 4, 3)
+    com = xref[0:3, :N].T + jnp.asarray(
+        [0.0, 0.0, cfg.offset_com_z], dtype)                 # (N, 3)
+    lever = feet - com[:, None, :]                           # (N, 4, 3)
+    # torque rows: dt * I_inv @ skew(lever); force rows: dt/m
+    tor = dt * jnp.einsum("kab,kibc->kaic", I_inv, skew(lever))  # (N,3,4,3)
+    frc = (dt / cfg.mass) * jnp.tile(jnp.eye(3, dtype=dtype)[:, None, :],
+                                     (1, 4, 1))              # (3, 4, 3)
+    Bl = jnp.concatenate([jnp.broadcast_to(frc[None], (N, 3, 4, 3)), tor],
+                         axis=1).reshape(N, 6, 12)           # (N, 6, 12)
+
+    # ---- G: dx = G f + h (closed-form powers of A) -----------------------
+    # row block k holds dx_{k+1} = sum_{j<=k} A^(k-j) (B_j f_j + r_j)
+    kk = jnp.arange(N)
+    p = kk[:, None] - kk[None, :]                            # k-j
+    mask = (p >= 0).astype(dtype)                            # j <= k
+    top = (mask * p.astype(dtype) * dt)[:, :, None, None] * Bl[None]
+    bot = mask[:, :, None, None] * jnp.broadcast_to(Bl[None], (N, N, 6, 12))
+    Gblk = jnp.concatenate([top, bot], axis=2)               # (N, N, 12, 12)
+    G = Gblk.transpose(0, 2, 1, 3).reshape(12 * N, 12 * N)
+
+    # ---- h: free response --------------------------------------------------
+    gvec = jnp.zeros(12, dtype).at[8].set(-cfg.gravity * dt)
+    xj = xref[:, :N].T                                       # (N, 12)
+    Axj = xj.at[:, 0:6].add(dt * xj[:, 6:12])                # A xref_j
+    r = Axj + gvec[None, :] - xref[:, 1:N + 1].T             # (N, 12)
+    rE = jnp.zeros_like(r).at[:, 0:6].set(r[:, 6:12])        # E r_j
+    hblk = (mask[:, :, None] * (r[None] + (p.astype(dtype) * dt)[:, :, None]
+                                * rE[None])).sum(axis=1)     # (N, 12)
+    h = hblk.reshape(12 * N)
+
+    # ---- cost ------------------------------------------------------------
+    W = jnp.asarray(_state_weights(cfg), dtype)              # (12N,)
+    GW = G * W[:, None]
+    H = G.T @ GW + cfg.w_force * jnp.eye(12 * N, dtype=dtype)
+    qlin = GW.T @ h
+
+    # ---- bounds ----------------------------------------------------------
+    inf = jnp.asarray(np.inf, dtype)
+    l_f = jnp.tile(jnp.asarray([-inf, -inf, -inf, -inf, -cfg.fz_max],
+                               dtype), 4 * N)
+    u_f = jnp.zeros(20 * N, dtype)
+    contact = jnp.repeat(gait.reshape(-1), 3)                # (12N,)
+    l_b = jnp.where(contact > 0, -inf, 0.0)
+    u_b = jnp.where(contact > 0, inf, 0.0)
+    l = jnp.concatenate([l_f, l_b])
+    u = jnp.concatenate([u_f, u_b])
+    return H, qlin, l, u, G, h
+
+
+def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
+              state: Optional[MPCState] = None,
+              settings: Optional[qp.QPSettings] = None) -> MPCResult:
+    """One MPC solve (MPC::run, src/MPC.cpp:626-650). Batch by vmapping
+    over (xref, fsteps, state)."""
+    N = cfg.n_steps
+    dtype = xref.dtype
+    if settings is None:
+        settings = qp.QPSettings(
+            sigma=cfg.osqp_sigma, alpha=cfg.osqp_alpha, rho=cfg.osqp_rho,
+            eps_abs=cfg.osqp_eps_abs, eps_rel=cfg.osqp_eps_rel,
+            max_iter=cfg.mpc_max_iter,
+            adaptive_rho_interval=cfg.osqp_adaptive_rho_interval,
+            adaptive_rho_tolerance=cfg.osqp_adaptive_rho_tolerance)
+    H, qlin, l, u, G, h = build_qp(cfg, xref, fsteps)
+    A = jnp.asarray(cone_matrix(N, cfg.mu), dtype)
+    x0 = state.f if state is not None else None
+    y0 = state.y if state is not None else None
+    sol = qp.solve(H, qlin, A, l, u, settings, x0=x0, y0=y0)
+
+    dx = G @ sol.x + h                                       # (12N,)
+    states = dx.reshape(N, 12).T + xref[:, 1:N + 1]          # (12, N)
+    forces = sol.x.reshape(N, 12).T                          # (12, N)
+    x_f = jnp.concatenate([states, forces], axis=0)          # (24, N)
+    return MPCResult(x_f_applied=x_f,
+                     state=MPCState(f=sol.x, y=sol.y),
+                     iters=sol.iters, converged=sol.converged)

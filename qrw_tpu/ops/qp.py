@@ -1,0 +1,298 @@
+"""Batched dense QP solver with OSQP ADMM semantics.
+
+Replaces the reference's sparse-CSC + OSQP machinery (src/MPC.cpp:501-564,
+src/QPWBC.cpp:230-267, src/st_to_cc.cpp) with a dense, fixed-shape,
+batch-first ADMM that jits and vmaps: at the reference's problem sizes
+(<=384 variables) dense linear algebra on the MXU beats any sparse scheme,
+and one K^-1 factorization turns every iteration into a batched matvec.
+
+Semantics mirror OSQP so the reference's solver settings carry over:
+  * modified Ruiz equilibration (10 iterations) with cost normalization —
+    osqp scaling.c — computed in-graph per problem;
+  * splitting  min 1/2 x'Px + q'x  s.t.  l <= Ax <= u
+    with sigma-regularized x-update, relaxation alpha, per-row rho
+    (equality rows rho*1e3, loose rows RHO_MIN — osqp set_rho_vec);
+  * residual-based adaptive rho with refactorization (osqp adapt_rho),
+    clipped to [RHO_MIN, RHO_MAX];
+  * termination on UNSCALED primal/dual residuals with absolute+relative
+    tolerances (osqp is_solved, scaled_termination=0), evaluated per
+    problem; the batch runs until every problem converges or max_iter.
+
+Everything is branch-free under jit: the iteration loop is a
+lax.while_loop over fixed-shape state with convergence masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+RHO_MIN = 1e-6
+RHO_MAX = 1e6
+RHO_EQ_SCALE = 1e3       # osqp RHO_EQ_OVER_RHO_INEQ
+LOOSE_BOUND = 1e18
+MIN_SCALING = 1e-4       # osqp MIN_SCALING
+MAX_SCALING = 1e4
+
+
+class QPSettings(NamedTuple):
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    rho: float = 0.1
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    max_iter: int = 1000
+    check_every: int = 25          # residual/termination check cadence
+    adaptive_rho_interval: int = 200
+    adaptive_rho_tolerance: float = 5.0
+    scaling_iters: int = 10        # Ruiz iterations; 0 disables scaling
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray          # (..., n) primal solution
+    y: jnp.ndarray          # (..., m) dual solution
+    z: jnp.ndarray          # (..., m) projected constraint value
+    iters: jnp.ndarray      # (...,) iterations executed
+    pri_res: jnp.ndarray    # (...,) final primal residual (inf-norm)
+    dua_res: jnp.ndarray    # (...,) final dual residual (inf-norm)
+    converged: jnp.ndarray  # (...,) bool
+
+
+def rho_vec_for_bounds(l, u, rho):
+    """Per-row rho classes exactly as osqp's set_rho_vec: loose rows get
+    RHO_MIN, equality rows rho*1e3, plain inequalities rho."""
+    loose = (l < -LOOSE_BOUND) & (u > LOOSE_BOUND)
+    eq = (u - l) < 1e-10
+    return jnp.where(loose, RHO_MIN, jnp.where(eq, RHO_EQ_SCALE * rho, rho))
+
+
+def _inf_norm(v):
+    return jnp.max(jnp.abs(v), axis=-1)
+
+
+def _limit(s):
+    return jnp.clip(s, MIN_SCALING, MAX_SCALING)
+
+
+def ruiz_equilibrate(P, q, A, iters: int):
+    """Modified Ruiz equilibration with cost scaling (osqp scaling.c).
+
+    P: (..., n, n); q: (..., n); A: (m, n) shared or (..., m, n).
+    Returns (D (..., n), E (..., m), c (..., 1)) such that the scaled
+    problem uses P' = c D P D, q' = c D q, A' = E A D."""
+    dtype = q.dtype
+    n = q.shape[-1]
+    m = A.shape[-2]
+    batch = jnp.broadcast_shapes(P.shape[:-2], q.shape[:-1])
+    D = jnp.ones(batch + (n,), dtype)
+    E = jnp.ones(batch + (m,), dtype)
+    c = jnp.ones(batch + (1,), dtype)
+    absA = jnp.abs(A)
+    absP = jnp.abs(P)
+
+    for _ in range(iters):
+        # scaled |P| and |A| column/row norms without materializing them
+        colP = jnp.max(absP * D[..., None, :] * D[..., :, None] * c[..., None],
+                       axis=-2)                                  # (..., n)
+        if A.ndim == 2:
+            sA = absA * D[..., None, :] * E[..., :, None]
+        else:
+            sA = absA * D[..., None, :] * E[..., :, None]
+        colA = jnp.max(sA, axis=-2)                              # (..., n)
+        rowA = jnp.max(sA, axis=-1)                              # (..., m)
+        col = jnp.maximum(colP, colA)
+        dD = 1.0 / jnp.sqrt(_limit(col))
+        dE = 1.0 / jnp.sqrt(_limit(rowA))
+        D = D * dD
+        E = E * dE
+        # cost scaling
+        colP2 = jnp.max(absP * D[..., None, :] * D[..., :, None]
+                        * c[..., None], axis=-2)
+        qn = _inf_norm(q * D * c[..., 0:1] if q.ndim else q)[..., None]
+        gamma = 1.0 / _limit(jnp.maximum(jnp.mean(colP2, axis=-1,
+                                                  keepdims=True), qn))
+        c = c * gamma
+    return D, E, c
+
+
+class _LoopState(NamedTuple):
+    x: jnp.ndarray
+    z: jnp.ndarray
+    y: jnp.ndarray
+    Kinv: jnp.ndarray
+    rho: jnp.ndarray        # (..., 1) scalar rho per problem
+    it: jnp.ndarray
+    pri: jnp.ndarray
+    dua: jnp.ndarray
+    done: jnp.ndarray
+
+
+def solve(P, q, A, l, u, settings: QPSettings = QPSettings(),
+          x0=None, y0=None) -> QPSolution:
+    """Solve a batch of dense QPs. All arrays broadcast over leading batch
+    dims: P (..., n, n), q (..., n), A (..., m, n) or (m, n) shared,
+    l/u (..., m). Warm start with x0/y0 (OSQP keeps the previous solution
+    between successive osqp_solve calls; pass the previous x/y for the
+    same semantics). Infeasible/unbounded detection is not implemented —
+    problems are assumed feasible (true for all controller QPs)."""
+    dtype = q.dtype
+    n = q.shape[-1]
+    m = l.shape[-1]
+    batch = jnp.broadcast_shapes(P.shape[:-2], q.shape[:-1], l.shape[:-1])
+    s = settings
+
+    P = jnp.broadcast_to(P, batch + (n, n))
+    q = jnp.broadcast_to(q, batch + (n,))
+    l = jnp.broadcast_to(l, batch + (m,))
+    u = jnp.broadcast_to(u, batch + (m,))
+    shared_A = A.ndim == 2
+
+    # ---- Ruiz equilibration ------------------------------------------------
+    if s.scaling_iters > 0:
+        D, E, c = ruiz_equilibrate(P, q, A, s.scaling_iters)
+    else:
+        D = jnp.ones(batch + (n,), dtype)
+        E = jnp.ones(batch + (m,), dtype)
+        c = jnp.ones(batch + (1,), dtype)
+    Ps = P * D[..., None, :] * D[..., :, None] * c[..., None]
+    qs = q * D * c
+    ls = E * l
+    us = E * u
+
+    def Amul(x):
+        """scaled A' x = E * (A @ (D * x))"""
+        if shared_A:
+            return E * jnp.einsum("...n,mn->...m", D * x, A)
+        return E * jnp.einsum("...mn,...n->...m", A, D * x)
+
+    def Atmul(y):
+        if shared_A:
+            return D * jnp.einsum("...m,mn->...n", E * y, A)
+        return D * jnp.einsum("...mn,...m->...n", A, E * y)
+
+    def factor(rho):
+        rv = rho_vec_for_bounds(ls, us, rho)          # (..., m)
+        w = rv * E * E
+        if shared_A:
+            AtRA = jnp.einsum("ma,...m,mb->...ab", A, w, A)
+        else:
+            AtRA = jnp.einsum("...ma,...m,...mb->...ab", A, w, A)
+        AtRA = AtRA * D[..., None, :] * D[..., :, None]
+        K = Ps + AtRA + s.sigma * jnp.eye(n, dtype=dtype)
+        return jnp.linalg.inv(K), rv
+
+    rho0 = jnp.full(batch + (1,), s.rho, dtype)
+    Kinv, _ = factor(rho0)
+
+    # warm start (scale into the equilibrated space)
+    if x0 is None:
+        x = jnp.zeros(batch + (n,), dtype)
+    else:
+        x = jnp.broadcast_to(x0, batch + (n,)) / D
+    if y0 is None:
+        y = jnp.zeros(batch + (m,), dtype)
+    else:
+        y = jnp.broadcast_to(y0, batch + (m,)) * c / E
+    z = Amul(x)
+
+    def admm_step(st: _LoopState) -> _LoopState:
+        rv = rho_vec_for_bounds(ls, us, st.rho)
+        b = s.sigma * st.x - qs + Atmul_scaled(rv * st.z - st.y)
+        xt = jnp.einsum("...ab,...b->...a", st.Kinv, b)
+        zt = Amul_scaled(xt)
+        xn = s.alpha * xt + (1 - s.alpha) * st.x
+        z_rel = s.alpha * zt + (1 - s.alpha) * st.z
+        zn = jnp.clip(z_rel + st.y / rv, ls, us)
+        yn = st.y + rv * (z_rel - zn)
+        keep = st.done[..., None]
+        return st._replace(x=jnp.where(keep, st.x, xn),
+                           z=jnp.where(keep, st.z, zn),
+                           y=jnp.where(keep, st.y, yn))
+
+    # scaled-space operators (the ADMM runs fully in the scaled space)
+    def Amul_scaled(x):
+        return Amul(x)
+
+    def Atmul_scaled(y):
+        return Atmul(y)
+
+    def residuals(st: _LoopState):
+        """Unscaled residuals and tolerances (osqp scaled_termination=0)."""
+        Ax_s = Amul_scaled(st.x)
+        Px_s = jnp.einsum("...ab,...b->...a", Ps, st.x)
+        Aty_s = Atmul_scaled(st.y)
+        cinv = 1.0 / c
+        Ax_u = Ax_s / E
+        z_u = st.z / E
+        Px_u = cinv * Px_s / D
+        Aty_u = cinv * Aty_s / D
+        q_u = qs / D * cinv
+        pri = _inf_norm(Ax_u - z_u)
+        dua = _inf_norm(Px_u + q_u + Aty_u)
+        eps_pri = s.eps_abs + s.eps_rel * jnp.maximum(_inf_norm(Ax_u),
+                                                      _inf_norm(z_u))
+        eps_dua = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.maximum(_inf_norm(Px_u), _inf_norm(Aty_u)), _inf_norm(q_u))
+        return pri, dua, eps_pri, eps_dua, Ax_u, z_u, Px_u, Aty_u, q_u
+
+    n_checks = (s.max_iter + s.check_every - 1) // s.check_every
+    adapt_mod = max(1, s.adaptive_rho_interval // s.check_every)
+
+    def outer_cond(carry):
+        st, chk = carry
+        return (chk < n_checks) & ~jnp.all(st.done)
+
+    def outer_body(carry):
+        st, chk = carry
+        st = lax.fori_loop(0, s.check_every, lambda _, t: admm_step(t), st)
+        pri, dua, eps_pri, eps_dua, Ax_u, z_u, Px_u, Aty_u, q_u = \
+            residuals(st)
+        conv = (pri <= eps_pri) & (dua <= eps_dua)
+        done = st.done | conv
+        st = st._replace(it=jnp.where(st.done, st.it,
+                                      st.it + s.check_every),
+                         pri=jnp.where(st.done, st.pri, pri),
+                         dua=jnp.where(st.done, st.dua, dua),
+                         done=done)
+
+        def adapt(st):
+            denom_p = jnp.maximum(jnp.maximum(_inf_norm(Ax_u),
+                                              _inf_norm(z_u)), 1e-30)
+            denom_d = jnp.maximum(jnp.maximum(
+                jnp.maximum(_inf_norm(Px_u), _inf_norm(Aty_u)),
+                _inf_norm(q_u)), 1e-30)
+            ratio = (pri / denom_p) / jnp.maximum(dua / denom_d, 1e-30)
+            scale = jnp.sqrt(ratio)[..., None]
+            want = (scale > s.adaptive_rho_tolerance) | \
+                   (scale < 1.0 / s.adaptive_rho_tolerance)
+            want = want & ~st.done[..., None]
+            rho_new = jnp.where(want,
+                                jnp.clip(st.rho * scale, RHO_MIN, RHO_MAX),
+                                st.rho)
+            Kinv_new, _ = factor(rho_new)
+            any_change = want[..., 0]
+            Kinv_new = jnp.where(any_change[..., None, None],
+                                 Kinv_new, st.Kinv)
+            return st._replace(rho=rho_new, Kinv=Kinv_new)
+
+        st = lax.cond(((chk + 1) % adapt_mod) == 0, adapt, lambda t: t, st)
+        return st, chk + 1
+
+    init = _LoopState(
+        x=x, z=z, y=y, Kinv=Kinv, rho=rho0,
+        it=jnp.zeros(batch, jnp.int32),
+        pri=jnp.full(batch, jnp.inf, dtype),
+        dua=jnp.full(batch, jnp.inf, dtype),
+        done=jnp.zeros(batch, bool),
+    )
+    st, _ = lax.while_loop(outer_cond, outer_body,
+                           (init, jnp.asarray(0, jnp.int32)))
+    # unscale the solution
+    x_out = D * st.x
+    y_out = E * st.y / c
+    z_out = st.z / E
+    return QPSolution(x=x_out, y=y_out, z=z_out, iters=st.it,
+                      pri_res=st.pri, dua_res=st.dua, converged=st.done)

@@ -1,0 +1,159 @@
+"""On-device articulated rigid-body simulator with compliant contact.
+
+Replaces PyBullet (scripts/PyBulletSimulator.py) with a fully in-graph
+simulator so closed-loop rollouts run on the TPU: whole-robot forward
+dynamics from the qrw_tpu CRBA/RNEA kernels, a compliant (penalty +
+anchored-friction) ground-contact model at the four feet, and the same
+on-board control law as the reference device facade
+(tau = P (q_des - q) + D (v_des - v) + tau_ff,
+scripts/PyBulletSimulator.py:685-692, applied in torque control).
+
+Measurement synthesis mirrors PyBulletSimulator.UpdateMeasurment
+(scripts/PyBulletSimulator.py:588-631): joint encoders, base-frame
+gyroscope, gravity-free IMU linear acceleration as the finite difference
+of the IMU-point velocity (same r x omega lever-arm convention as the
+estimator), ground-truth position/velocity for the perfect-estimator mode.
+
+The contact model is stateful per foot: a normal spring-damper (fn =
+kp * penetration - kd * zdot, clamped >= 0) and a tangential anchor
+spring clamped to the friction cone, with anchor sliding on saturation —
+branch-free, so the whole rollout jits and vmaps over scenarios.
+External force schedules support the reference's fault-injection
+scenarios (scripts/PyBulletSimulator.py:402-431).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qrw_tpu.config import Config
+from qrw_tpu.core.estimator import DeviceData
+from qrw_tpu.ops import rbd
+from qrw_tpu.ops.rotations import quat_integrate, quat_to_rot
+
+
+class SimState(NamedTuple):
+    q: jnp.ndarray             # (19,) base pos + quat + joints
+    v: jnp.ndarray             # (18,) local base twist + joint rates
+    anchors: jnp.ndarray       # (4, 2) tangential contact anchors (world xy)
+    active: jnp.ndarray        # (4,) contact active flags
+    prev_o_imu_vel: jnp.ndarray  # (3,) previous IMU-point velocity (world)
+    joint_torques: jnp.ndarray   # (12,) applied torques (for logging)
+
+
+def init_sim_state(cfg: Config, q_init=None, height: Optional[float] = None,
+                   dtype=jnp.float32) -> SimState:
+    from qrw_tpu.models.solo12 import H_INIT
+    if q_init is None:
+        q_init = jnp.asarray(cfg.q_init, dtype)
+    h = H_INIT if height is None else height
+    q = jnp.concatenate([jnp.asarray([0.0, 0.0, h, 0.0, 0.0, 0.0, 1.0],
+                                     dtype), q_init])
+    return SimState(
+        q=q, v=jnp.zeros(18, dtype),
+        anchors=jnp.zeros((4, 2), dtype),
+        active=jnp.zeros(4, bool),
+        prev_o_imu_vel=jnp.zeros(3, dtype),
+        joint_torques=jnp.zeros(12, dtype),
+    )
+
+
+def _contact_forces(cfg: Config, state: SimState, pos, vel
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World-frame ground forces at the 4 feet + updated anchor state.
+
+    pos/vel: (4, 3) world foot positions / velocities."""
+    pen = -pos[:, 2]                                  # penetration depth
+    in_ground = pen > 0.0
+    fn = jnp.maximum(0.0,
+                     cfg.ground_stiffness * pen
+                     - cfg.ground_damping * vel[:, 2])
+    fn = jnp.where(in_ground, fn, 0.0)
+
+    # tangential anchor spring, clamped to the friction cone
+    anchors = jnp.where((in_ground & ~state.active)[:, None],
+                        pos[:, 0:2], state.anchors)
+    raw = (-cfg.ground_stiffness * (pos[:, 0:2] - anchors)
+           - cfg.ground_damping * vel[:, 0:2])
+    norm = jnp.linalg.norm(raw, axis=1)
+    fmax = cfg.sim_mu * fn
+    scale = jnp.where(norm > fmax, fmax / jnp.maximum(norm, 1e-9), 1.0)
+    ft = raw * scale[:, None]
+    ft = jnp.where(in_ground[:, None], ft, 0.0)
+    # slide the anchor when the cone saturates (keeps the spring consistent)
+    anchors = jnp.where((in_ground & (norm > fmax))[:, None],
+                        pos[:, 0:2]
+                        + (ft + cfg.ground_damping * vel[:, 0:2])
+                        / cfg.ground_stiffness,
+                        anchors)
+    forces = jnp.concatenate([ft, fn[:, None]], axis=1)   # (4, 3)
+    return forces, anchors, in_ground
+
+
+def step(cfg: Config, model: rbd.JaxModel, state: SimState, P, D, q_des,
+         v_des, tau_ff, f_ext=None) -> Tuple[SimState, DeviceData]:
+    """Advance one WBC tick (dt_wbc) with cfg.sim_substeps physics substeps.
+
+    The PD+feedforward torque is computed once per tick from start-of-tick
+    measurements, like the device facade (scripts/PyBulletSimulator.py:
+    679-700). f_ext: optional (3,) world force on the base."""
+    dtype = state.q.dtype
+    dt = cfg.dt_wbc / cfg.sim_substeps
+    if f_ext is None:
+        f_ext = jnp.zeros(3, dtype)
+
+    q_mes0 = state.q[7:]
+    v_mes0 = state.v[6:]
+    tau = P * (q_des - q_mes0) + D * (v_des - v_mes0) + tau_ff
+
+    def substep(carry, _):
+        q, v, anchors, active = carry
+        base_pos, quat, qj = q[0:3], q[3:7], q[7:]
+        kin = rbd.frame_kinematics(model, base_pos, quat, qj, v[0:6], v[6:])
+        forces, anchors, active = _contact_forces(
+            cfg, SimState(q, v, anchors, active,
+                          state.prev_o_imu_vel, tau),
+            kin.pos, kin.vel)
+        J = rbd.foot_jacobians(model, base_pos, quat, qj)    # (4, 3, 18)
+        f_gen = jnp.einsum("fan,fa->n", J, forces)
+        f_gen = f_gen.at[0:3].add(quat_to_rot(quat).T @ f_ext)
+        h = rbd.rnea(model, quat, qj, v, jnp.zeros(18, dtype), cfg.gravity)
+        M = rbd.crba(model, qj)
+        rhs = (f_gen - h).at[6:].add(tau)
+        a = jnp.linalg.solve(M, rhs)
+        v_new = v + dt * a
+        R = quat_to_rot(quat)
+        q_new = q.at[0:3].add(dt * (R @ v_new[0:3]))
+        q_new = q_new.at[3:7].set(quat_integrate(quat, v_new[3:6], dt))
+        q_new = q_new.at[7:].add(dt * v_new[6:])
+        return (q_new, v_new, anchors, active), None
+
+    (q, v, anchors, active), _ = jax.lax.scan(
+        substep, (state.q, state.v, state.anchors, state.active),
+        None, length=cfg.sim_substeps)
+
+    # ---- measurement synthesis -------------------------------------------
+    R = quat_to_rot(q[3:7])
+    o_base_vel = R @ v[0:3]
+    omega_b = v[3:6]
+    imu_r = jnp.asarray(cfg.imu_offset, dtype)
+    # same r x omega lever-arm convention as the reference device facade
+    # and estimator (scripts/PyBulletSimulator.py:626-628)
+    o_imu_vel = o_base_vel + R @ jnp.cross(imu_r, omega_b)
+    base_lin_acc = R.T @ (o_imu_vel - state.prev_o_imu_vel) / cfg.dt_wbc
+
+    device = DeviceData(
+        base_lin_acc=base_lin_acc,
+        base_ang_vel=omega_b,
+        base_quat=q[3:7],
+        q_mes=q[7:],
+        v_mes=v[6:],
+        dummy_pos=q[0:3],
+        b_base_vel=v[0:3],
+    )
+    new_state = SimState(q=q, v=v, anchors=anchors, active=active,
+                         prev_o_imu_vel=o_imu_vel, joint_torques=tau)
+    return new_state, device

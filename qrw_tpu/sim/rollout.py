@@ -1,0 +1,102 @@
+"""Closed-loop rollout: controller + in-graph simulator under lax.scan.
+
+This is the TPU-native equivalent of the reference's main control loop
+(scripts/main_solo12_control.py:180-242): device measurement -> controller
+tick -> joint PD command -> physics step, repeated for N ticks — but as
+ONE jitted program whose per-scenario state is a pytree, so `jax.vmap`
+turns it into thousands of simultaneous rollouts and `shard_map` spreads
+them over a TPU mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qrw_tpu.core.controller import (Controller, ControllerState, Result,
+                                     compute, init_state, make_controller)
+from qrw_tpu.sim.physics import SimState, init_sim_state, step
+
+
+class RolloutCarry(NamedTuple):
+    ctl_state: ControllerState
+    sim_state: SimState
+
+
+class RolloutLog(NamedTuple):
+    """Per-tick signals (mirrors the core of LoggerControl's arrays)."""
+    base_pos: jnp.ndarray      # (T, 3) ground-truth base position
+    base_vel: jnp.ndarray      # (T, 3) base-frame linear velocity
+    rpy_vel: jnp.ndarray       # (T, 3) angular velocity
+    tau_ff: jnp.ndarray        # (T, 12)
+    q_des: jnp.ndarray         # (T, 12)
+    f_mpc: jnp.ndarray         # (T, 12) first-step MPC forces
+    error: jnp.ndarray         # (T,) security latch
+
+
+def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
+            k0=0, v_ref_schedule=None, f_ext_schedule=None,
+            perfect_estimator: bool = False,
+            with_logs: bool = True) -> Tuple[RolloutCarry, RolloutLog]:
+    """Run `n_ticks` closed-loop control ticks starting at tick `k0`.
+
+    v_ref_schedule: optional (n_ticks, 6) velocity commands (defaults to
+    the predefined profile cfg.velID). f_ext_schedule: optional
+    (n_ticks, 3) world-frame base force (fault injection)."""
+    cfg = ctl.cfg
+
+    def loop(carry, inp):
+        k, v_ref, f_ext = inp
+        cs, ss, device = carry
+        cs, result = compute(ctl, cs, device, k, v_ref6=v_ref,
+                             perfect_estimator=perfect_estimator)
+        ss, device = step(cfg, ctl.model, ss, result.P, result.D,
+                          result.q_des, result.v_des, result.tau_ff,
+                          f_ext=f_ext)
+        log = RolloutLog(
+            base_pos=ss.q[0:3], base_vel=ss.v[0:3], rpy_vel=ss.v[3:6],
+            tau_ff=result.tau_ff, q_des=result.q_des,
+            f_mpc=cs.x_f_mpc[12:, 0], error=cs.error,
+        ) if with_logs else None
+        return (cs, ss, device), log
+
+    ks = k0 + jnp.arange(n_ticks)
+    if v_ref_schedule is None:
+        from qrw_tpu.core.joystick import v_ref_profile
+        v_ref_schedule = jax.vmap(
+            lambda k: v_ref_profile(k, cfg.velID, carry.sim_state.q.dtype)
+        )(ks)
+    if f_ext_schedule is None:
+        f_ext_schedule = jnp.zeros((n_ticks, 3), carry.sim_state.q.dtype)
+
+    # initial measurements: one zero-torque, zero-time step is avoided by
+    # synthesizing directly from the sim state
+    ss0 = carry.sim_state
+    from qrw_tpu.core.estimator import DeviceData as DD
+    device0 = DD(
+        base_lin_acc=jnp.zeros(3, ss0.q.dtype),
+        base_ang_vel=ss0.v[3:6],
+        base_quat=ss0.q[3:7],
+        q_mes=ss0.q[7:],
+        v_mes=ss0.v[6:],
+        dummy_pos=ss0.q[0:3],
+        b_base_vel=ss0.v[0:3],
+    )
+    (cs, ss, _), logs = lax.scan(loop,
+                                 (carry.ctl_state, ss0, device0),
+                                 (ks, v_ref_schedule, f_ext_schedule))
+    return RolloutCarry(ctl_state=cs, sim_state=ss), logs
+
+
+def make_rollout(cfg=None, dtype=jnp.float32, **cfg_kw):
+    """Convenience constructor: (controller, initial carry)."""
+    from qrw_tpu.config import Config
+    if cfg is None:
+        cfg = Config(**cfg_kw)
+    ctl = make_controller(cfg)
+    carry = RolloutCarry(ctl_state=init_state(ctl, dtype),
+                         sim_state=init_sim_state(cfg, dtype=dtype))
+    return ctl, carry

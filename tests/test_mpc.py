@@ -1,0 +1,149 @@
+"""Physics-level MPC tests.
+
+Replicates the invariants of the reference's scripts/test_mpc.py (SURVEY.md
+section 4 tier 2): equal per-foot forces at 4-stance equilibrium, tracking
+convergence to the reference state from a perturbed start (atol 1e-3
+4-stance / 1e-2 trot), stable trot under manual gait rolling — all in the
+same closed loop (predicted state fed back as the next current state).
+Additionally the condensed QP is cross-checked against an independent
+interior-point oracle, coverage the reference delegates to OSQP.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qrw_tpu.config import Config
+from qrw_tpu.core import mpc
+from qrw_tpu.ops import qp
+from tests.qp_oracle import solve_qp_oracle
+
+CFG = Config()
+H0 = 0.24474949993103629
+MG4 = CFG.mass * CFG.gravity / 4.0
+
+FOOTHOLDS = np.array([0.195, 0.147, 0., 0.195, -0.147, 0.,
+                      -0.195, 0.147, 0., -0.195, -0.147, 0.])
+PAIR_1 = np.array([0.195, 0.147, 0., 0., 0., 0.,
+                   0., 0., 0., -0.195, -0.147, 0.])
+PAIR_2 = np.array([0., 0., 0., 0.195, -0.147, 0.,
+                   -0.195, 0.147, 0., 0., 0., 0.])
+
+
+def _xref(x0=None):
+    xref = np.zeros((12, CFG.n_steps + 1))
+    xref[2, :] = H0
+    if x0 is not None:
+        xref[:, 0] = x0
+    return xref
+
+
+def _fsteps_fourstance():
+    f = np.zeros((CFG.N_gait, 12))
+    f[:CFG.n_steps] = FOOTHOLDS
+    return f
+
+
+def _fsteps_trot(offset):
+    """Expanded trot footstep matrix with the stance flip `offset` rows in."""
+    f = np.zeros((CFG.N_gait, 12))
+    half = CFG.n_steps // 2
+    for i in range(CFG.n_steps):
+        f[i] = PAIR_1 if ((i + (half - offset)) // half) % 2 == 0 else PAIR_2
+    return f
+
+
+@functools.cache
+def _solver():
+    settings = qp.QPSettings(max_iter=2000)
+    return jax.jit(lambda xref, fsteps, st: mpc.solve_mpc(
+        CFG, xref, fsteps, st, settings))
+
+
+def _closed_loop(xref, fsteps_fn, iters):
+    solve = _solver()
+    st = mpc.init_mpc_state(CFG, jnp.float64)
+    xref = jnp.asarray(xref)
+    res = None
+    for i in range(iters):
+        res = solve(xref, jnp.asarray(fsteps_fn(i)), st)
+        st = res.state
+        xref = xref.at[:, 0].set(res.x_f_applied[:12, 0])
+    return res, xref
+
+
+def test_fourstance_equilibrium():
+    res, xref = _closed_loop(_xref(), lambda i: _fsteps_fourstance(), 30)
+    x_f = np.asarray(res.x_f_applied)
+    f0 = x_f[12:, 0]
+    # all feet carry identical forces (scripts/test_mpc.py:83-84)
+    np.testing.assert_allclose(f0, np.tile(f0[0:3], 4), atol=1e-8)
+    # vertical force = weight / 4, tangential ~ 0
+    np.testing.assert_allclose(f0[2::3], MG4, rtol=1e-3)
+    np.testing.assert_allclose(f0[0::3], 0.0, atol=1e-6)
+    # converged onto the reference state (atol 1e-3, scripts/test_mpc.py:85)
+    np.testing.assert_allclose(x_f[:12, 0], np.asarray(xref[:, 1]), atol=1e-3)
+
+
+def test_fourstance_not_centered():
+    x0 = np.array([0.05, 0.05, 0.2, 0.1, 0.1, 0.1,
+                   0.01, 0.01, 0.04, 0.4, 0.4, 0.4])
+    # 500 closed-loop iterations as in the reference (scripts/test_mpc.py:102)
+    res, xref = _closed_loop(_xref(x0), lambda i: _fsteps_fourstance(), 500)
+    x_f = np.asarray(res.x_f_applied)
+    np.testing.assert_allclose(x_f[12:, 0], np.tile(x_f[12:15, 0], 4),
+                               atol=1e-6)
+    np.testing.assert_allclose(x_f[:12, 0], np.asarray(xref[:, 1]), atol=1e-3)
+
+
+def test_twostance_trot():
+    res, xref = _closed_loop(_xref(), lambda i: _fsteps_trot(i % 16), 64)
+    x_f = np.asarray(res.x_f_applied)
+    # state stays near the reference through the stance switches
+    np.testing.assert_allclose(x_f[:12, 0], np.asarray(xref[:, 1]), atol=1e-2)
+    # stance pair carries the full weight
+    fz = x_f[14::3, 0]
+    assert abs(fz.sum() - 4 * MG4) / (4 * MG4) < 0.1
+    # swing feet forces are exactly zero (S_gait equality rows)
+    gait0 = _fsteps_trot(0)[0, 0::3] != 0
+    np.testing.assert_allclose(x_f[12:, 0].reshape(4, 3)[~gait0], 0.0,
+                               atol=1e-7)
+
+
+def test_condensed_qp_matches_interior_point_oracle():
+    """The condensed trot QP solved by the ADMM kernel equals the solution
+    of an independent f64 interior-point method."""
+    xref = _xref()
+    xref[:, 0] = [0.01, -0.02, H0 + 0.01, 0.02, -0.01, 0.03,
+                  0.1, 0.05, -0.02, 0.2, -0.1, 0.15]
+    xref[6, 1:] = 0.3   # forward velocity reference
+    fsteps = _fsteps_trot(5)
+    H, qlin, l, u, G, h = mpc.build_qp(CFG, jnp.asarray(xref),
+                                       jnp.asarray(fsteps))
+    A = mpc.cone_matrix(CFG.n_steps, CFG.mu)
+    sol = qp.solve(H, qlin, jnp.asarray(A), l, u,
+                   qp.QPSettings(max_iter=4000, eps_abs=1e-9, eps_rel=1e-9))
+    assert bool(sol.converged)
+    x_ref = solve_qp_oracle(np.asarray(H), np.asarray(qlin), A,
+                            np.asarray(l), np.asarray(u))
+    np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=2e-5)
+
+
+def test_batched_solves_match_single():
+    """vmap over scenarios reproduces per-scenario results."""
+    xrefs = np.stack([_xref(), _xref([0.02, 0, H0, 0, 0, 0.1,
+                                      0.1, 0, 0, 0, 0, 0.2])])
+    fsteps = np.stack([_fsteps_fourstance(), _fsteps_trot(3)])
+    settings = qp.QPSettings(max_iter=2000)
+    single = [mpc.solve_mpc(CFG, jnp.asarray(xrefs[i]),
+                            jnp.asarray(fsteps[i]), settings=settings)
+              for i in range(2)]
+    batched = jax.vmap(lambda x, f: mpc.solve_mpc(CFG, x, f,
+                                                  settings=settings))(
+        jnp.asarray(xrefs), jnp.asarray(fsteps))
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(batched.x_f_applied[i]),
+                                   np.asarray(single[i].x_f_applied),
+                                   atol=1e-7)
