@@ -1,0 +1,113 @@
+"""Headline benchmark: batched 16-step centroidal MPC solves/s per chip.
+
+Measures the BASELINE.md throughput target (>= 10,000 16-step MPC
+solves/s per v5e chip) on whatever backend JAX selects (real TPU under
+the driver; pass --smoke for a quick CPU run). Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload matches the reference MPC problem exactly (N=16 horizon,
+trot gait, 12N-variable condensed QP with friction-pyramid + activation
+rows — src/MPC.cpp:512-513 solves the same physics as a 384-var sparse
+QP); every problem in the batch is a distinct perturbed scenario, warm
+compiled, timed over several repetitions with block_until_ready.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_SOLVES_PER_S = 10_000.0
+
+
+def build_batch(cfg, batch: int, rng: np.random.Generator):
+    """Distinct trot scenarios: perturbed current state + rolling stance."""
+    h0 = 0.24474949993103629
+    pair1 = np.array([0.195, 0.147, 0., 0., 0., 0.,
+                      0., 0., 0., -0.195, -0.147, 0.])
+    pair2 = np.array([0., 0., 0., 0.195, -0.147, 0.,
+                      -0.195, 0.147, 0., 0., 0., 0.])
+    N = cfg.n_steps
+    half = N // 2
+    xrefs = np.zeros((batch, 12, N + 1), np.float32)
+    xrefs[:, 2, :] = h0
+    xrefs[:, :, 0] += rng.normal(scale=0.02, size=(batch, 12))
+    xrefs[:, 6, 1:] = rng.uniform(0.0, 1.0, size=(batch, 1))
+    fsteps = np.zeros((batch, cfg.N_gait, 12), np.float32)
+    for b in range(batch):
+        off = b % N
+        for i in range(N):
+            fsteps[b, i] = (pair1 if ((i + (half - off)) // half) % 2 == 0
+                            else pair2)
+    return xrefs, fsteps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="quick CPU run with a small batch")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from qrw_tpu.config import Config
+    from qrw_tpu.core import mpc as mpc_mod
+    from qrw_tpu.ops import qp
+
+    cfg = Config()
+    batch = args.batch or (64 if args.smoke else 4096)
+    reps = args.reps or (2 if args.smoke else 10)
+    rng = np.random.default_rng(0)
+    xrefs, fsteps = build_batch(cfg, batch, rng)
+
+    # Controller-grade settings; tolerances achievable in f32 (the f64
+    # OSQP-parity path is exercised by tests/test_mpc.py on CPU).
+    settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=500,
+                             check_every=25)
+
+    @jax.jit
+    def solve_batch(xrefs, fsteps):
+        res = jax.vmap(
+            lambda x, f: mpc_mod.solve_mpc(cfg, x, f, settings=settings)
+        )(xrefs, fsteps)
+        return res.x_f_applied, res.iters, res.converged
+
+    xrefs = jnp.asarray(xrefs)
+    fsteps = jnp.asarray(fsteps)
+    out = solve_batch(xrefs, fsteps)          # compile + warm up
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = solve_batch(xrefs, fsteps)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    solves_per_s = batch / dt
+
+    conv = float(np.mean(np.asarray(out[2])))
+    print(json.dumps({
+        "metric": "mpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+    }))
+    # extra context on stderr-safe second line is avoided: keep ONE line.
+    assert conv > 0.95, f"convergence rate {conv:.3f} too low"
+
+
+if __name__ == "__main__":
+    main()

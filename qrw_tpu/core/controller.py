@@ -109,7 +109,8 @@ def make_controller(cfg: Config,
                       mpc_settings=mpc_settings, wbc_settings=wbc_settings)
 
 
-def init_state(ctl: Controller, dtype=jnp.float32) -> ControllerState:
+def init_state(ctl: Controller, dtype=jnp.float32,
+               gait: str = "trot") -> ControllerState:
     cfg = ctl.cfg
     q_init = jnp.asarray(cfg.q_init, dtype)
     q = jnp.concatenate([
@@ -120,7 +121,7 @@ def init_state(ctl: Controller, dtype=jnp.float32) -> ControllerState:
     return ControllerState(
         gait=jax.tree.map(lambda a: a.astype(dtype)
                           if a.dtype != bool else a,
-                          gait_mod.make_gait(cfg, "trot")),
+                          gait_mod.make_gait(cfg, gait)),
         footstep=make_footstep_state(cfg, jnp.asarray(SHOULDERS, dtype)),
         foot_traj=make_foot_traj_state(p0),
         estimator=init_estimator_state(cfg, H_INIT, dtype),

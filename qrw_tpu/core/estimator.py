@@ -31,6 +31,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from qrw_tpu.config import Config
+from qrw_tpu.core.kalman import KF18State, kf18_init, kf18_step
 from qrw_tpu.ops import rbd
 from qrw_tpu.ops.rotations import quat_to_rot, quat_to_rpy, rpy_to_quat
 
@@ -65,6 +66,7 @@ class EstimatorState(NamedTuple):
     xyz_mean_feet: jnp.ndarray  # (3,)
     v_filt: jnp.ndarray         # (18,)
     v_secu: jnp.ndarray         # (12,)
+    kf: KF18State               # 18-state Kalman (used when kf_enabled)
 
 
 class EstimatorOutput(NamedTuple):
@@ -89,6 +91,7 @@ def init_estimator_state(cfg: Config, h_init: float,
         xyz_mean_feet=jnp.zeros(3, dtype),
         v_filt=jnp.zeros(18, dtype),
         v_secu=jnp.zeros(12, dtype),
+        kf=kf18_init(h_init, dtype),
     )
 
 
@@ -164,21 +167,31 @@ def run_filter(cfg: Config, model: rbd.JaxModel, state: EstimatorState,
                       v_min + (v_max - v_min)
                       * jnp.abs(c - (a - n)) / jnp.maximum(c, 1e-9))
 
-    # ---- complementary filter cascade -------------------------------------
     cross = jnp.cross(imu_r, device.base_ang_vel)
-    i_fk_vel = fk_lin_vel + cross                  # FK vel at IMU, base
-    oi_fk_vel = oRb @ i_fk_vel                     # world frame
     o_acc = oRb @ device.base_lin_acc
-    hp_vel = alpha * (state.hp_vel + o_acc * cfg.dt_wbc)
-    lp_vel = alpha * state.lp_vel + (1.0 - alpha) * oi_fk_vel
-    oi_filt_vel = hp_vel + lp_vel
-    b_filt_vel = oRb.T @ oi_filt_vel - cross       # base center, base frame
-    ob_filt_vel = oRb @ b_filt_vel                 # world frame
+    if cfg.kf_enabled:
+        # ---- 18-state Kalman filter (scripts/Estimator.py:554-580) --------
+        kf, filt_lin_pos, b_filt_vel = kf18_step(
+            cfg, state.kf, oRb, o_acc, kin.pos, feet_status,
+            device.base_ang_vel)
+        hp_vel, lp_vel = state.hp_vel, state.lp_vel
+        hp_pos, lp_pos = state.hp_pos, state.lp_pos
+    else:
+        # ---- complementary filter cascade ---------------------------------
+        i_fk_vel = fk_lin_vel + cross              # FK vel at IMU, base
+        oi_fk_vel = oRb @ i_fk_vel                 # world frame
+        hp_vel = alpha * (state.hp_vel + o_acc * cfg.dt_wbc)
+        lp_vel = alpha * state.lp_vel + (1.0 - alpha) * oi_fk_vel
+        oi_filt_vel = hp_vel + lp_vel
+        b_filt_vel = oRb.T @ oi_filt_vel - cross   # base center, base frame
+        ob_filt_vel = oRb @ b_filt_vel             # world frame
 
-    a_pos = jnp.asarray(cfg.alpha_pos, dtype)
-    hp_pos = a_pos * (state.hp_pos + ob_filt_vel * cfg.dt_wbc)
-    lp_pos = a_pos * state.lp_pos + (1.0 - a_pos) * (fk_xyz + xyz_mean_feet)
-    filt_lin_pos = hp_pos + lp_pos
+        a_pos = jnp.asarray(cfg.alpha_pos, dtype)
+        hp_pos = a_pos * (state.hp_pos + ob_filt_vel * cfg.dt_wbc)
+        lp_pos = (a_pos * state.lp_pos
+                  + (1.0 - a_pos) * (fk_xyz + xyz_mean_feet))
+        filt_lin_pos = hp_pos + lp_pos
+        kf = state.kf
 
     # ---- outputs ----------------------------------------------------------
     alpha_v = filter_alpha(cfg.dt_wbc, cfg.fc_vel)
@@ -198,6 +211,6 @@ def run_filter(cfg: Config, model: rbd.JaxModel, state: EstimatorState,
         yaw_offset=yaw_offset, k_since_contact=ksc,
         hp_vel=hp_vel, lp_vel=lp_vel, hp_pos=hp_pos, lp_pos=lp_pos,
         fk_lin_vel=fk_lin_vel, fk_xyz=fk_xyz, xyz_mean_feet=xyz_mean_feet,
-        v_filt=v_filt, v_secu=v_secu)
+        v_filt=v_filt, v_secu=v_secu, kf=kf)
     return EstimatorOutput(q_filt=q_filt, v_filt=v_filt, v_secu=v_secu,
                            rpy=rpy, state=new_state)

@@ -106,6 +106,12 @@ def build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
     fsteps: (N_gait, 12) footstep plan rows [foot0 xyz, foot1 xyz, ...]
     Returns (H, qlin, l, u, G, h) — G/h recover dx = G f + h.
     """
+    import jax
+    with jax.default_matmul_precision("highest"):
+        return _build_qp(cfg, xref, fsteps)
+
+
+def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
     N = cfg.n_steps
     dt = cfg.dt_mpc
     dtype = xref.dtype
@@ -193,7 +199,9 @@ def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
     y0 = state.y if state is not None else None
     sol = qp.solve(H, qlin, A, l, u, settings, x0=x0, y0=y0)
 
-    dx = G @ sol.x + h                                       # (12N,)
+    import jax
+    with jax.default_matmul_precision("highest"):
+        dx = G @ sol.x + h                                   # (12N,)
     states = dx.reshape(N, 12).T + xref[:, 1:N + 1]          # (12, N)
     forces = sol.x.reshape(N, 12).T                          # (12, N)
     x_f = jnp.concatenate([states, forces], axis=0)          # (24, N)

@@ -101,6 +101,14 @@ def compute_wbc(cfg: Config, model: rbd.JaxModel, state: WBCState,
     f_cmd: (12,) MPC contact forces; contacts: (4,) flags
     pgoals/vgoals/agoals: (3, 4) foot references in the base frame.
     """
+    import jax
+    with jax.default_matmul_precision("highest"):
+        return _compute_wbc(cfg, model, state, qj, b_v18, f_cmd, contacts,
+                            pgoals, vgoals, agoals, settings)
+
+
+def _compute_wbc(cfg, model, state, qj, b_v18, f_cmd, contacts,
+                 pgoals, vgoals, agoals, settings):
     dtype = qj.dtype
     vj = b_v18[6:]
     if settings is None:

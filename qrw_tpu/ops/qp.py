@@ -138,6 +138,13 @@ def solve(P, q, A, l, u, settings: QPSettings = QPSettings(),
     between successive osqp_solve calls; pass the previous x/y for the
     same semantics). Infeasible/unbounded detection is not implemented —
     problems are assumed feasible (true for all controller QPs)."""
+    # TPU matmuls default to bf16 passes; ADMM needs true f32 accumulate
+    # to reach 1e-4..1e-6 residuals, so force full precision throughout.
+    with jax.default_matmul_precision("highest"):
+        return _solve(P, q, A, l, u, settings, x0, y0)
+
+
+def _solve(P, q, A, l, u, settings, x0, y0) -> QPSolution:
     dtype = q.dtype
     n = q.shape[-1]
     m = l.shape[-1]
@@ -182,7 +189,12 @@ def solve(P, q, A, l, u, settings: QPSettings = QPSettings(),
             AtRA = jnp.einsum("...ma,...m,...mb->...ab", A, w, A)
         AtRA = AtRA * D[..., None, :] * D[..., :, None]
         K = Ps + AtRA + s.sigma * jnp.eye(n, dtype=dtype)
-        return jnp.linalg.inv(K), rv
+        # K is SPD: Cholesky-based inverse is faster and more stable on
+        # TPU than the LU path of jnp.linalg.inv
+        C = jnp.linalg.cholesky(K)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), K.shape)
+        Kinv = jax.scipy.linalg.cho_solve((C, True), eye)
+        return Kinv, rv
 
     rho0 = jnp.full(batch + (1,), s.rho, dtype)
     Kinv, _ = factor(rho0)

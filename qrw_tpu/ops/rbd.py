@@ -72,7 +72,22 @@ def _axis_rot(axis, q):
     """Rotation of angle q about a unit axis (Rodrigues)."""
     c, s = jnp.cos(q), jnp.sin(q)
     K = skew(axis)
-    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=K.dtype) + s * K + (1.0 - c) * (K @ K)
+
+
+def _cast_model(model: JaxModel, dtype) -> JaxModel:
+    """Cast model constants to the computation dtype — under x64 the
+    stored arrays are f64, which would silently promote f32 states."""
+    return model._replace(
+        joint_axis=model.joint_axis.astype(dtype),
+        joint_pos=model.joint_pos.astype(dtype),
+        mass=model.mass.astype(dtype),
+        com=model.com.astype(dtype),
+        inertia_o=model.inertia_o.astype(dtype),
+        foot_pos=model.foot_pos.astype(dtype),
+        shoulders=model.shoulders.astype(dtype),
+        imu_offset=model.imu_offset.astype(dtype),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -83,6 +98,7 @@ def fk_world(model: JaxModel, base_pos, base_quat, qj):
     """Forward kinematics: world rotation and origin of each body.
 
     Returns (R: (13,3,3), p: (13,3))."""
+    model = _cast_model(model, qj.dtype)
     R0 = quat_to_rot(base_quat)
     Rs = [R0]
     ps = [base_pos]
@@ -113,6 +129,7 @@ def frame_kinematics(model: JaxModel, base_pos, base_quat, qj,
     + omega x vel, i.e. exactly the term subtracted by the reference IK
     (src/InvKin.cpp:48).
     """
+    model = _cast_model(model, qj.dtype)
     R0 = quat_to_rot(base_quat)
     w0 = R0 @ base_vel_local[3:6]
     v0 = R0 @ base_vel_local[0:3]
@@ -161,6 +178,7 @@ def foot_jacobians(model: JaxModel, base_pos, base_quat, qj):
     structure (each foot depends only on its own leg's joints), which the
     IK exploits (src/InvKin.cpp:56).
     """
+    model = _cast_model(model, qj.dtype)
     R, p = fk_world(model, base_pos, base_quat, qj)
     axes_w = [None] * NUM_BODIES
     for i in range(1, NUM_BODIES):
@@ -262,6 +280,7 @@ def rnea(model: JaxModel, base_quat, qj, v, a, gravity: float = 9.81):
     rows 0:6 base wrench [force; torque] in base frame, rows 6:18 joint
     torques — matching pin.rnea as used in scripts/QP_WBC.py:104,116.
     """
+    model = _cast_model(model, v.dtype)
     Es, rs = _joint_transforms(model, qj)
     R0 = quat_to_rot(base_quat)
     v0 = _reorder_in(v[:6])
@@ -296,6 +315,7 @@ def crba(model: JaxModel, qj):
     """Composite-rigid-body joint-space inertia matrix M (18, 18) in
     Pinocchio free-flyer coordinates (scripts/QP_WBC.py:91). The base
     orientation does not affect M in local coordinates."""
+    model = _cast_model(model, qj.dtype)
     Es, rs = _joint_transforms(model, qj)
     Ic = [_spatial_inertia_mat(model, i) for i in range(NUM_BODIES)]
     X = [None] + [_xmat(Es[i], rs[i]) for i in range(1, NUM_BODIES)]

@@ -1,0 +1,147 @@
+"""Main entry point: closed-loop Solo-12 walking runs from the CLI.
+
+TPU-native re-design of the reference entry point
+(scripts/main_solo12_control.py:91-354). The reference's 500 Hz host loop
+(device.UpdateMeasurment -> controller.compute -> device.SendCommand)
+becomes one jitted lax.scan rollout on the accelerator; the CLI keeps the
+same user-facing contract (choose scenario/velocity profile/duration, run,
+then log/plot) and adds the TPU-native scale-out axis: --batch N runs N
+perturbed scenarios simultaneously via vmap, sharded over all local
+devices when --mesh is given.
+
+Usage examples:
+    python -m qrw_tpu.runtime.main --ticks 3000 --velID 2 --save
+    python -m qrw_tpu.runtime.main --batch 256 --mesh --ticks 1000
+    python -m qrw_tpu.runtime.main --cpu --ticks 480 --plot out
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="qrw_tpu closed-loop walking runner")
+    p.add_argument("--ticks", type=int, default=None,
+                   help="number of 2 ms control ticks (default from config)")
+    p.add_argument("--velID", type=int, default=None,
+                   help="predefined velocity profile 0..6")
+    p.add_argument("--gait", default="trot",
+                   choices=["trot", "walk", "pacing", "bounding", "static"])
+    p.add_argument("--kf", action="store_true",
+                   help="use the 18-state Kalman estimator")
+    p.add_argument("--perfect", action="store_true",
+                   help="perfect estimator (simulator ground truth)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="run N perturbed scenarios in parallel (0 = single)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
+    p.add_argument("--save", nargs="?", const="", default=None,
+                   metavar="PATH", help="save logs to .npz")
+    p.add_argument("--plot", nargs="?", const="qrw_run", default=None,
+                   metavar="PREFIX", help="save plotAll figures as PNGs")
+    p.add_argument("--config", default=None, help="YAML config path")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qrw_tpu.config import load_config
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+
+    overrides = {}
+    if args.velID is not None:
+        overrides["velID"] = args.velID
+    if args.ticks is not None:
+        overrides["N_SIMULATION"] = args.ticks
+    if args.kf:
+        overrides["kf_enabled"] = True
+    cfg = load_config(args.config, **overrides)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    n_ticks = cfg.N_SIMULATION
+
+    ctl, carry = make_rollout(cfg, dtype=dtype, gait=args.gait)
+    print(f"backend={jax.default_backend()} devices={len(jax.devices())} "
+          f"ticks={n_ticks} velID={cfg.velID} gait={args.gait} "
+          f"batch={args.batch or 1}")
+
+    if args.batch:
+        B = args.batch
+        rng = np.random.default_rng(args.seed)
+        carry = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), carry)
+        # perturb initial joint configurations per scenario
+        dq = jnp.asarray(rng.normal(scale=0.01, size=(B, 12)), dtype)
+        sim = carry.sim_state
+        carry = carry._replace(
+            sim_state=sim._replace(q=sim.q.at[:, 7:].add(dq)))
+
+        def run1(c):
+            return rollout(ctl, c, n_ticks,
+                           perfect_estimator=args.perfect)
+
+        if args.mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from qrw_tpu.parallel.mesh import make_mesh, sharded_vmap
+            mesh = make_mesh()
+            run = jax.jit(sharded_vmap(run1, mesh))
+            carry = jax.device_put(carry, NamedSharding(mesh, P("dp")))
+        else:
+            run = jax.jit(jax.vmap(run1))
+    else:
+        run = jax.jit(lambda c: rollout(ctl, c, n_ticks,
+                                        perfect_estimator=args.perfect))
+
+    t0 = time.perf_counter()
+    out_carry, logs = run(carry)
+    jax.block_until_ready(out_carry)
+    wall = time.perf_counter() - t0
+    n_runs = args.batch or 1
+    sim_s = n_ticks * cfg.dt_wbc
+    print(f"rollout done: {wall:.2f}s wall for {n_runs} x {sim_s:.1f}s sim "
+          f"({n_runs * sim_s / wall:.1f}x realtime aggregate)")
+
+    # ---- run summary (the reference prints security status at shutdown,
+    # scripts/main_solo12_control.py:244-253) ---------------------------
+    bp = np.asarray(logs.base_pos)
+    err = np.asarray(logs.error)
+    ec = np.asarray(logs.error_code)
+    if args.batch:
+        n_err = int(err[:, -1].sum())
+        print(f"final height mean={bp[:, -1, 2].mean():.4f} "
+              f"min={bp[:, -1, 2].min():.4f}; "
+              f"errors {n_err}/{n_runs} (codes {np.unique(ec[err > 0]) if n_err else '[]'})")
+    else:
+        print(f"final pos [{bp[-1, 0]:.3f} {bp[-1, 1]:.3f} {bp[-1, 2]:.3f}]"
+              f" error={bool(err[-1])} code={int(ec[-1])}")
+
+    if args.save is not None or args.plot is not None:
+        from qrw_tpu.utils import logger as qlog
+        one = (jax.tree.map(lambda a: a[0], logs) if args.batch else logs)
+        if args.save is not None:
+            path = qlog.save_npz(one, args.save or None, cfg)
+            print(f"logs saved to {path}")
+        if args.plot is not None:
+            data = qlog.log_to_dict(one, cfg)
+            qlog.plot_all(data, dt=cfg.dt_wbc, show=False,
+                          save_prefix=args.plot)
+            print(f"figures saved as {args.plot}_fig*.png")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

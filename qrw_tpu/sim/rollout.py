@@ -27,14 +27,24 @@ class RolloutCarry(NamedTuple):
 
 
 class RolloutLog(NamedTuple):
-    """Per-tick signals (mirrors the core of LoggerControl's arrays)."""
+    """Per-tick signals (the structured-logging core of the reference's
+    LoggerControl/LoggerSensors, scripts/LoggerControl.py:18-96)."""
     base_pos: jnp.ndarray      # (T, 3) ground-truth base position
+    base_quat: jnp.ndarray     # (T, 4) ground-truth base orientation
     base_vel: jnp.ndarray      # (T, 3) base-frame linear velocity
     rpy_vel: jnp.ndarray       # (T, 3) angular velocity
-    tau_ff: jnp.ndarray        # (T, 12)
-    q_des: jnp.ndarray         # (T, 12)
+    q_mes: jnp.ndarray         # (T, 12) joint encoder positions
+    v_mes: jnp.ndarray         # (T, 12) joint encoder velocities
+    q_des: jnp.ndarray         # (T, 12) WBC joint position targets
+    v_des: jnp.ndarray         # (T, 12) WBC joint velocity targets
+    tau_ff: jnp.ndarray        # (T, 12) feedforward torques
+    tau_applied: jnp.ndarray   # (T, 12) PD+ff torques applied by the sim
     f_mpc: jnp.ndarray         # (T, 12) first-step MPC forces
+    feet_pos_ref: jnp.ndarray  # (T, 3, 4) swing-trajectory foot targets
+    q_est: jnp.ndarray         # (T, 19) controller hybrid state estimate
+    v_est: jnp.ndarray         # (T, 18) estimator velocity
     error: jnp.ndarray         # (T,) security latch
+    error_code: jnp.ndarray    # (T,) int32
 
 
 def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
@@ -57,9 +67,14 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
                           result.q_des, result.v_des, result.tau_ff,
                           f_ext=f_ext)
         log = RolloutLog(
-            base_pos=ss.q[0:3], base_vel=ss.v[0:3], rpy_vel=ss.v[3:6],
-            tau_ff=result.tau_ff, q_des=result.q_des,
-            f_mpc=cs.x_f_mpc[12:, 0], error=cs.error,
+            base_pos=ss.q[0:3], base_quat=ss.q[3:7],
+            base_vel=ss.v[0:3], rpy_vel=ss.v[3:6],
+            q_mes=ss.q[7:], v_mes=ss.v[6:],
+            q_des=result.q_des, v_des=result.v_des,
+            tau_ff=result.tau_ff, tau_applied=ss.joint_torques,
+            f_mpc=cs.x_f_mpc[12:, 0], feet_pos_ref=cs.foot_traj.position,
+            q_est=cs.q, v_est=cs.v,
+            error=cs.error, error_code=cs.error_code,
         ) if with_logs else None
         return (cs, ss, device), log
 
@@ -91,12 +106,13 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
     return RolloutCarry(ctl_state=cs, sim_state=ss), logs
 
 
-def make_rollout(cfg=None, dtype=jnp.float32, **cfg_kw):
+def make_rollout(cfg=None, dtype=jnp.float32, gait: str = "trot",
+                 **cfg_kw):
     """Convenience constructor: (controller, initial carry)."""
     from qrw_tpu.config import Config
     if cfg is None:
         cfg = Config(**cfg_kw)
     ctl = make_controller(cfg)
-    carry = RolloutCarry(ctl_state=init_state(ctl, dtype),
+    carry = RolloutCarry(ctl_state=init_state(ctl, dtype, gait=gait),
                          sim_state=init_sim_state(cfg, dtype=dtype))
     return ctl, carry
