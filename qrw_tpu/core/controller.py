@@ -31,6 +31,7 @@ from jax import lax
 from qrw_tpu.config import Config
 from qrw_tpu.core import gait as gait_mod
 from qrw_tpu.core import mpc as mpc_mod
+from qrw_tpu.core import mpc_ddp
 from qrw_tpu.core import wbc as wbc_mod
 from qrw_tpu.core.estimator import (DeviceData, EstimatorState,
                                     init_estimator_state, run_filter)
@@ -125,7 +126,10 @@ def init_state(ctl: Controller, dtype=jnp.float32,
         footstep=make_footstep_state(cfg, jnp.asarray(SHOULDERS, dtype)),
         foot_traj=make_foot_traj_state(p0),
         estimator=init_estimator_state(cfg, H_INIT, dtype),
-        mpc=mpc_mod.init_mpc_state(cfg, dtype),
+        # type_MPC selects the QP (OSQP-equivalent) or DDP (Crocoddyl-
+        # equivalent) backend (scripts/MPC_Wrapper.py:59-64)
+        mpc=(mpc_mod.init_mpc_state(cfg, dtype) if cfg.type_MPC
+             else mpc_ddp.init_ddp_state(cfg, dtype)),
         x_f_mpc=jnp.zeros((24, cfg.n_steps), dtype),
         wbc=wbc_mod.init_wbc_state(dtype),
         q=q, v=jnp.zeros(18, dtype), h_v=jnp.zeros(18, dtype),
@@ -200,8 +204,11 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
 
     # ---- MPC (solve every k_mpc ticks, keep latest plan otherwise) --------
     def run_mpc(_):
-        res = mpc_mod.solve_mpc(cfg, xref, fsteps, state.mpc,
-                                ctl.mpc_settings)
+        if cfg.type_MPC:
+            res = mpc_mod.solve_mpc(cfg, xref, fsteps, state.mpc,
+                                    ctl.mpc_settings)
+        else:
+            res = mpc_ddp.solve_mpc_ddp(cfg, xref, fsteps, state.mpc)
         return res.x_f_applied, res.state
 
     def keep_mpc(_):

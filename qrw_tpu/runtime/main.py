@@ -32,6 +32,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["trot", "walk", "pacing", "bounding", "static"])
     p.add_argument("--kf", action="store_true",
                    help="use the 18-state Kalman estimator")
+    p.add_argument("--ddp", action="store_true",
+                   help="use the DDP (Crocoddyl-equivalent) MPC backend")
     p.add_argument("--perfect", action="store_true",
                    help="perfect estimator (simulator ground truth)")
     p.add_argument("--batch", type=int, default=0,
@@ -70,6 +72,8 @@ def main(argv=None) -> int:
         overrides["N_SIMULATION"] = args.ticks
     if args.kf:
         overrides["kf_enabled"] = True
+    if args.ddp:
+        overrides["type_MPC"] = False
     cfg = load_config(args.config, **overrides)
     dtype = jnp.float64 if args.f64 else jnp.float32
     n_ticks = cfg.N_SIMULATION

@@ -1,0 +1,94 @@
+"""DDP MPC physics invariants (mirror of the QP-MPC tier-2 tests applied
+to the Crocoddyl-equivalent backend, scripts/crocoddyl_class/
+MPC_crocoddyl.py + scripts/test_mpc.py semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qrw_tpu.config import Config
+from qrw_tpu.core import mpc_ddp
+from tests.test_mpc import (_fsteps_fourstance, _fsteps_trot, _xref, H0,
+                            MG4, CFG)
+
+
+def _closed_loop_ddp(xref, fsteps_fn, iters, nonlinear=False):
+    settings = mpc_ddp.DDPSettings(nonlinear=nonlinear)
+    st = mpc_ddp.init_ddp_state(CFG, jnp.float64)
+    xref = jnp.asarray(xref)
+    res = None
+    for i in range(iters):
+        res = mpc_ddp.solve_mpc_ddp(CFG, xref, jnp.asarray(fsteps_fn(i)),
+                                    st, settings)
+        st = res.state
+        xref = xref.at[:, 0].set(res.x_f_applied[:12, 0])
+    return res, xref
+
+
+def test_ddp_fourstance_equilibrium():
+    res, xref = _closed_loop_ddp(_xref(), lambda i: _fsteps_fourstance(),
+                                 30)
+    x_f = np.asarray(res.x_f_applied)
+    f0 = x_f[12:, 0]
+    # forces symmetric left/right and front/back pairs, fz near mg/4
+    np.testing.assert_allclose(f0[2::3], MG4, rtol=0.05)
+    np.testing.assert_allclose(f0[0::3], 0.0, atol=0.1)
+    # converged near the reference state
+    np.testing.assert_allclose(x_f[:12, 0], np.asarray(xref[:, 1]),
+                               atol=5e-3)
+
+
+def test_ddp_trot_tracks_reference():
+    res, xref = _closed_loop_ddp(_xref(), lambda i: _fsteps_trot(i % 16),
+                                 48)
+    x_f = np.asarray(res.x_f_applied)
+    np.testing.assert_allclose(x_f[:12, 0], np.asarray(xref[:, 1]),
+                               atol=2e-2)
+    # swing feet carry zero force
+    gait0 = _fsteps_trot(0)[0, 0::3] != 0
+    np.testing.assert_allclose(
+        x_f[12:, 0].reshape(4, 3)[~gait0], 0.0, atol=1e-9)
+    # stance feet within the (inner) friction cone and fz bounds
+    stance_f = x_f[12:, 0].reshape(4, 3)[gait0]
+    assert np.all(stance_f[:, 2] > 0.0)
+    assert np.all(stance_f[:, 2] < CFG.fz_max + 1e-6)
+
+
+def test_ddp_nonlinear_variant_runs():
+    """ActionModelQuadrupedNonLinear analog: yaw from the iterate."""
+    xref = _xref()
+    xref[5, 1:] = np.linspace(0.0, 0.3, CFG.n_steps)  # yaw ramp
+    res, _ = _closed_loop_ddp(xref, lambda i: _fsteps_fourstance(), 10,
+                              nonlinear=True)
+    x_f = np.asarray(res.x_f_applied)
+    assert np.all(np.isfinite(x_f))
+    np.testing.assert_allclose(x_f[2, 0], H0, atol=2e-2)
+
+
+def test_ddp_batched_matches_single():
+    xrefs = np.stack([_xref(), _xref([0.02, 0, H0, 0, 0, 0,
+                                      0.1, 0, 0, 0, 0, 0])])
+    fsteps = np.stack([_fsteps_fourstance(), _fsteps_trot(3)])
+    single = [mpc_ddp.solve_mpc_ddp(CFG, jnp.asarray(xrefs[i]),
+                                    jnp.asarray(fsteps[i]))
+              for i in range(2)]
+    batched = jax.vmap(lambda x, f: mpc_ddp.solve_mpc_ddp(CFG, x, f))(
+        jnp.asarray(xrefs), jnp.asarray(fsteps))
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(batched.x_f_applied[i]),
+                                   np.asarray(single[i].x_f_applied),
+                                   atol=1e-8)
+
+
+def test_ddp_backend_rollout_stands():
+    """Full closed-loop rollout with type_MPC=False (DDP backend)."""
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+    cfg = CFG.replace(type_MPC=False)
+    ctl, carry = make_rollout(cfg, dtype=jnp.float64)
+    n = 400
+    run = jax.jit(lambda c: rollout(
+        ctl, c, n, v_ref_schedule=jnp.zeros((n, 6), jnp.float64)))
+    carry2, logs = run(carry)
+    bp = np.asarray(logs.base_pos)
+    assert abs(bp[-1, 2] - cfg.h_ref) < 0.05, bp[-1]
+    assert not bool(np.asarray(logs.error).any())
