@@ -30,6 +30,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="predefined velocity profile 0..6")
     p.add_argument("--gait", default="trot",
                    choices=["trot", "walk", "pacing", "bounding", "static"])
+    p.add_argument("--envID", type=int, default=None,
+                   help="0 flat, 1 stairs obstacle course")
+    p.add_argument("--bumpy", action="store_true",
+                   help="procedural bumpy terrain (use_flat_plane=False)")
     p.add_argument("--kf", action="store_true",
                    help="use the 18-state Kalman estimator")
     p.add_argument("--ddp", action="store_true",
@@ -74,10 +78,18 @@ def main(argv=None) -> int:
         overrides["kf_enabled"] = True
     if args.ddp:
         overrides["type_MPC"] = False
+    if args.envID is not None:
+        overrides["envID"] = args.envID
+    if args.bumpy:
+        overrides["use_flat_plane"] = False
     cfg = load_config(args.config, **overrides)
     dtype = jnp.float64 if args.f64 else jnp.float32
     n_ticks = cfg.N_SIMULATION
 
+    from qrw_tpu.sim.faults import default_perturbations
+    from qrw_tpu.sim.terrain import make_terrain
+    terrain = make_terrain(cfg, dtype)
+    f_ext = jnp.asarray(default_perturbations(cfg, n_ticks), dtype)
     ctl, carry = make_rollout(cfg, dtype=dtype, gait=args.gait)
     print(f"backend={jax.default_backend()} devices={len(jax.devices())} "
           f"ticks={n_ticks} velID={cfg.velID} gait={args.gait} "
@@ -95,7 +107,8 @@ def main(argv=None) -> int:
             sim_state=sim._replace(q=sim.q.at[:, 7:].add(dq)))
 
         def run1(c):
-            return rollout(ctl, c, n_ticks,
+            return rollout(ctl, c, n_ticks, f_ext_schedule=f_ext,
+                           terrain=terrain,
                            perfect_estimator=args.perfect)
 
         if args.mesh:
@@ -108,6 +121,8 @@ def main(argv=None) -> int:
             run = jax.jit(jax.vmap(run1))
     else:
         run = jax.jit(lambda c: rollout(ctl, c, n_ticks,
+                                        f_ext_schedule=f_ext,
+                                        terrain=terrain,
                                         perfect_estimator=args.perfect))
 
     t0 = time.perf_counter()

@@ -61,12 +61,15 @@ def init_sim_state(cfg: Config, q_init=None, height: Optional[float] = None,
     )
 
 
-def _contact_forces(cfg: Config, state: SimState, pos, vel
+def _contact_forces(cfg: Config, state: SimState, pos, vel, ground_h=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """World-frame ground forces at the 4 feet + updated anchor state.
 
-    pos/vel: (4, 3) world foot positions / velocities."""
-    pen = -pos[:, 2]                                  # penetration depth
+    pos/vel: (4, 3) world foot positions / velocities; ground_h: (4,)
+    terrain height under each foot (None = flat plane z=0)."""
+    if ground_h is None:
+        ground_h = jnp.zeros(4, pos.dtype)
+    pen = ground_h - pos[:, 2]                        # penetration depth
     in_ground = pen > 0.0
     fn = jnp.maximum(0.0,
                      cfg.ground_stiffness * pen
@@ -94,12 +97,15 @@ def _contact_forces(cfg: Config, state: SimState, pos, vel
 
 
 def step(cfg: Config, model: rbd.JaxModel, state: SimState, P, D, q_des,
-         v_des, tau_ff, f_ext=None) -> Tuple[SimState, DeviceData]:
+         v_des, tau_ff, f_ext=None,
+         terrain=None) -> Tuple[SimState, DeviceData]:
     """Advance one WBC tick (dt_wbc) with cfg.sim_substeps physics substeps.
 
     The PD+feedforward torque is computed once per tick from start-of-tick
     measurements, like the device facade (scripts/PyBulletSimulator.py:
-    679-700). f_ext: optional (3,) world force on the base."""
+    679-700). f_ext: optional (3,) world force on the base; terrain:
+    optional sim.terrain.Terrain height field (None = flat plane)."""
+    from qrw_tpu.sim.terrain import height_at
     dtype = state.q.dtype
     dt = cfg.dt_wbc / cfg.sim_substeps
     if f_ext is None:
@@ -113,10 +119,12 @@ def step(cfg: Config, model: rbd.JaxModel, state: SimState, P, D, q_des,
         q, v, anchors, active = carry
         base_pos, quat, qj = q[0:3], q[3:7], q[7:]
         kin = rbd.frame_kinematics(model, base_pos, quat, qj, v[0:6], v[6:])
+        ground_h = (height_at(terrain, kin.pos[:, 0:2])
+                    if terrain is not None else None)
         forces, anchors, active = _contact_forces(
             cfg, SimState(q, v, anchors, active,
                           state.prev_o_imu_vel, tau),
-            kin.pos, kin.vel)
+            kin.pos, kin.vel, ground_h)
         J = rbd.foot_jacobians(model, base_pos, quat, qj)    # (4, 3, 18)
         f_gen = jnp.einsum("fan,fa->n", J, forces)
         f_gen = f_gen.at[0:3].add(quat_to_rot(quat).T @ f_ext)

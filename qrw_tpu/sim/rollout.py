@@ -50,12 +50,14 @@ class RolloutLog(NamedTuple):
 def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
             k0=0, v_ref_schedule=None, f_ext_schedule=None,
             perfect_estimator: bool = False,
+            terrain=None,
             with_logs: bool = True) -> Tuple[RolloutCarry, RolloutLog]:
     """Run `n_ticks` closed-loop control ticks starting at tick `k0`.
 
     v_ref_schedule: optional (n_ticks, 6) velocity commands (defaults to
     the predefined profile cfg.velID). f_ext_schedule: optional
-    (n_ticks, 3) world-frame base force (fault injection)."""
+    (n_ticks, 3) world-frame base force (fault injection, sim/faults.py).
+    terrain: optional sim.terrain.Terrain height field."""
     cfg = ctl.cfg
 
     def loop(carry, inp):
@@ -65,7 +67,7 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
                              perfect_estimator=perfect_estimator)
         ss, device = step(cfg, ctl.model, ss, result.P, result.D,
                           result.q_des, result.v_des, result.tau_ff,
-                          f_ext=f_ext)
+                          f_ext=f_ext, terrain=terrain)
         log = RolloutLog(
             base_pos=ss.q[0:3], base_quat=ss.q[3:7],
             base_vel=ss.v[0:3], rpy_vel=ss.v[3:6],
