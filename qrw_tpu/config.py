@@ -43,6 +43,11 @@ class Config:
     predefined_vel: bool = True        # velocity profile vs gamepad
     kf_enabled: bool = False           # Kalman (True) vs complementary filter
     enable_pyb_GUI: bool = False       # GUI flag (no-op on TPU; kept for parity)
+    # Async MPC semantics (enable_multiprocessing, scripts/Controller.py:143;
+    # stale-plan roll scripts/MPC_Wrapper.py:89-103): the controller
+    # consumes the plan computed one MPC period earlier, deterministically
+    # reproduced in-graph via a double-buffered plan + staleness roll.
+    mpc_async: bool = False
 
     # ------------------------------------------------------------------
     # Physical constants hard-coded by the reference, centralized here

@@ -68,6 +68,7 @@ class ControllerState(NamedTuple):
     estimator: EstimatorState
     mpc: mpc_mod.MPCState
     x_f_mpc: jnp.ndarray        # (24, N) latest MPC plan
+    x_f_next: jnp.ndarray       # (24, N) in-flight plan (async MPC mode)
     wbc: wbc_mod.WBCState
     q: jnp.ndarray              # (19,) hybrid state estimate
     v: jnp.ndarray              # (18,)
@@ -131,6 +132,7 @@ def init_state(ctl: Controller, dtype=jnp.float32,
         mpc=(mpc_mod.init_mpc_state(cfg, dtype) if cfg.type_MPC
              else mpc_ddp.init_ddp_state(cfg, dtype)),
         x_f_mpc=jnp.zeros((24, cfg.n_steps), dtype),
+        x_f_next=jnp.zeros((24, cfg.n_steps), dtype),
         wbc=wbc_mod.init_wbc_state(dtype),
         q=q, v=jnp.zeros(18, dtype), h_v=jnp.zeros(18, dtype),
         yaw_estim=jnp.zeros((), dtype),
@@ -203,19 +205,41 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
                                     h_ref=cfg.h_ref)
 
     # ---- MPC (solve every k_mpc ticks, keep latest plan otherwise) --------
+    def stale_roll(plan):
+        """Staleness compensation of the async path (scripts/
+        MPC_Wrapper.py:89-103): shift the force plan one step left and,
+        on a gait-phase change, rebuild the terminal forces by equal
+        weight distribution over the final stance feet."""
+        rolled = plan.at[12:, :].set(jnp.roll(plan[12:, :], -1, axis=1))
+        g = gait.current
+        n_rows = jnp.sum(jnp.any(g > 0, axis=1).astype(jnp.int32))
+        last = g[jnp.maximum(n_rows - 1, 0)]               # (4,)
+        changed = jnp.any(last != g[0])
+        F = cfg.mass * cfg.gravity / jnp.maximum(jnp.sum(last), 1.0)
+        term = (jnp.zeros((4, 3), dtype).at[:, 2].set(F * last)
+                .reshape(12))
+        return jnp.where(changed & (k > 2),
+                         rolled.at[12:, -1].set(term), rolled)
+
     def run_mpc(_):
         if cfg.type_MPC:
             res = mpc_mod.solve_mpc(cfg, xref, fsteps, state.mpc,
                                     ctl.mpc_settings)
         else:
             res = mpc_ddp.solve_mpc_ddp(cfg, xref, fsteps, state.mpc)
-        return res.x_f_applied, res.state
+        if cfg.mpc_async:
+            # one-period-stale consumption: use the previously computed
+            # plan (rolled); the fresh solve is applied next period
+            used = jnp.where(k == 0, res.x_f_applied,
+                             stale_roll(state.x_f_next))
+            return used, res.x_f_applied, res.state
+        return res.x_f_applied, res.x_f_applied, res.state
 
     def keep_mpc(_):
-        return state.x_f_mpc, state.mpc
+        return state.x_f_mpc, state.x_f_next, state.mpc
 
-    x_f_mpc, mpc_state = lax.cond((k % k_mpc) == 0, run_mpc, keep_mpc,
-                                  None)
+    x_f_mpc, x_f_next, mpc_state = lax.cond((k % k_mpc) == 0, run_mpc,
+                                            keep_mpc, None)
 
     # ---- WBC target assembly (scripts/Controller.py:258-269) -------------
     x_f_wbc = x_f_mpc[:, 0]
@@ -277,6 +301,7 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
     new_state = ControllerState(
         gait=gait, footstep=fs_state, foot_traj=ft_state,
         estimator=est.state, mpc=mpc_state, x_f_mpc=x_f_mpc,
+        x_f_next=x_f_next,
         wbc=wbc_res.state, q=q, v=v, h_v=h_v, yaw_estim=yaw_estim,
         qdes=wbc_res.qdes, vdes=wbc_res.vdes,
         feet_p_cmd=feet_p_cmd, feet_v_cmd=feet_v_cmd,

@@ -197,7 +197,8 @@ def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
     A = jnp.asarray(cone_matrix(N, cfg.mu), dtype)
     x0 = state.f if state is not None else None
     y0 = state.y if state is not None else None
-    sol = qp.solve(H, qlin, A, l, u, settings, x0=x0, y0=y0)
+    sol = qp.solve(H, qlin, A, l, u, settings, x0=x0, y0=y0,
+                   cone=qp.ConeStructure(N, cfg.mu))
 
     import jax
     with jax.default_matmul_precision("highest"):

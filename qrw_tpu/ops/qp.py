@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 RHO_MIN = 1e-6
@@ -36,6 +37,37 @@ RHO_EQ_SCALE = 1e3       # osqp RHO_EQ_OVER_RHO_INEQ
 LOOSE_BOUND = 1e18
 MIN_SCALING = 1e-4       # osqp MIN_SCALING
 MAX_SCALING = 1e4
+
+
+class ConeStructure(NamedTuple):
+    """Static description of the MPC cone constraint matrix
+    A = [F; I] (cone_matrix, core/mpc.py): F is block-diagonal with the
+    5x3 friction block C per (step, foot) — every row touches exactly one
+    foot's 3 force components — and I is the 12N activation identity.
+    Passing this to solve() swaps the dense A matvecs / A'RA build for
+    structured per-block forms: O(15) coefficients per block instead of
+    dense (32N x 12N) GEMMs, and a block-diagonal 3x3 A'RA instead of an
+    O(m n^2) einsum."""
+    n_steps: int
+    mu: float
+
+    @property
+    def n(self) -> int:
+        return 12 * self.n_steps
+
+    @property
+    def m(self) -> int:
+        return 32 * self.n_steps
+
+    def cone_rows(self) -> np.ndarray:
+        """(5, 3) block C (src/MPC.cpp:135-146)."""
+        return np.array([
+            [1.0, 0.0, -self.mu],
+            [-1.0, 0.0, -self.mu],
+            [0.0, 1.0, -self.mu],
+            [0.0, -1.0, -self.mu],
+            [0.0, 0.0, -1.0],
+        ])
 
 
 class QPSettings(NamedTuple):
@@ -131,20 +163,24 @@ class _LoopState(NamedTuple):
 
 
 def solve(P, q, A, l, u, settings: QPSettings = QPSettings(),
-          x0=None, y0=None) -> QPSolution:
+          x0=None, y0=None, cone: "ConeStructure" = None) -> QPSolution:
     """Solve a batch of dense QPs. All arrays broadcast over leading batch
     dims: P (..., n, n), q (..., n), A (..., m, n) or (m, n) shared,
     l/u (..., m). Warm start with x0/y0 (OSQP keeps the previous solution
     between successive osqp_solve calls; pass the previous x/y for the
     same semantics). Infeasible/unbounded detection is not implemented —
-    problems are assumed feasible (true for all controller QPs)."""
+    problems are assumed feasible (true for all controller QPs).
+
+    cone: optional ConeStructure matching A — enables the structured
+    fast path for the matvecs and the A'RA factorization term (identical
+    semantics, different op order => results match to fp tolerance)."""
     # TPU matmuls default to bf16 passes; ADMM needs true f32 accumulate
     # to reach 1e-4..1e-6 residuals, so force full precision throughout.
     with jax.default_matmul_precision("highest"):
-        return _solve(P, q, A, l, u, settings, x0, y0)
+        return _solve(P, q, A, l, u, settings, x0, y0, cone)
 
 
-def _solve(P, q, A, l, u, settings, x0, y0) -> QPSolution:
+def _solve(P, q, A, l, u, settings, x0, y0, cone=None) -> QPSolution:
     dtype = q.dtype
     n = q.shape[-1]
     m = l.shape[-1]
@@ -169,26 +205,63 @@ def _solve(P, q, A, l, u, settings, x0, y0) -> QPSolution:
     ls = E * l
     us = E * u
 
-    def Amul(x):
-        """scaled A' x = E * (A @ (D * x))"""
-        if shared_A:
-            return E * jnp.einsum("...n,mn->...m", D * x, A)
-        return E * jnp.einsum("...mn,...n->...m", A, D * x)
+    if cone is not None:
+        # ---- structured scaled operators (As = E A D in block form) ------
+        nb = 4 * cone.n_steps                          # foot-step blocks
+        mc = 20 * cone.n_steps                         # cone rows
+        Cb = jnp.asarray(cone.cone_rows(), dtype)      # (5, 3)
+        D4 = D.reshape(batch + (nb, 3))
+        E_cone = E[..., :mc].reshape(batch + (nb, 5))
+        idc = E[..., mc:] * D                          # (..., n)
+        Cs = (Cb * E_cone[..., :, :, None] * D4[..., :, None, :])
+        # (..., nb, 5, 3)
 
-    def Atmul(y):
-        if shared_A:
-            return D * jnp.einsum("...m,mn->...n", E * y, A)
-        return D * jnp.einsum("...mn,...m->...n", A, E * y)
+        def Amul(x):
+            x4 = x.reshape(batch + (nb, 3))
+            yc = jnp.einsum("...kca,...ka->...kc", Cs, x4)
+            return jnp.concatenate(
+                [yc.reshape(batch + (mc,)), idc * x], axis=-1)
+
+        def Atmul(y):
+            yc = y[..., :mc].reshape(batch + (nb, 5))
+            xc = jnp.einsum("...kca,...kc->...ka", Cs, yc)
+            return xc.reshape(batch + (n,)) + idc * y[..., mc:]
+    else:
+        def Amul(x):
+            """scaled A' x = E * (A @ (D * x))"""
+            if shared_A:
+                return E * jnp.einsum("...n,mn->...m", D * x, A)
+            return E * jnp.einsum("...mn,...n->...m", A, D * x)
+
+        def Atmul(y):
+            if shared_A:
+                return D * jnp.einsum("...m,mn->...n", E * y, A)
+            return D * jnp.einsum("...mn,...m->...n", A, E * y)
 
     def factor(rho):
         rv = rho_vec_for_bounds(ls, us, rho)          # (..., m)
-        w = rv * E * E
-        if shared_A:
-            AtRA = jnp.einsum("ma,...m,mb->...ab", A, w, A)
+        if cone is not None:
+            rvc = rv[..., :mc].reshape(batch + (nb, 5))
+            blocks = jnp.einsum("...kca,...kc,...kcd->...kad",
+                                Cs, rvc, Cs)           # (..., nb, 3, 3)
+            dn = idc * idc * rv[..., mc:]              # identity-row diag
+            rows = (3 * np.repeat(np.arange(nb), 9)
+                    + np.tile(np.repeat(np.arange(3), 3), nb))
+            cols = (3 * np.repeat(np.arange(nb), 9)
+                    + np.tile(np.arange(3), 3 * nb))
+            K = Ps + s.sigma * jnp.eye(n, dtype=dtype)
+            K = K.at[..., rows, cols].add(
+                blocks.reshape(batch + (9 * nb,)))
+            dr = np.arange(n)
+            K = K.at[..., dr, dr].add(dn)
         else:
-            AtRA = jnp.einsum("...ma,...m,...mb->...ab", A, w, A)
-        AtRA = AtRA * D[..., None, :] * D[..., :, None]
-        K = Ps + AtRA + s.sigma * jnp.eye(n, dtype=dtype)
+            w = rv * E * E
+            if shared_A:
+                AtRA = jnp.einsum("ma,...m,mb->...ab", A, w, A)
+            else:
+                AtRA = jnp.einsum("...ma,...m,...mb->...ab", A, w, A)
+            AtRA = AtRA * D[..., None, :] * D[..., :, None]
+            K = Ps + AtRA + s.sigma * jnp.eye(n, dtype=dtype)
         # K is SPD: Cholesky-based inverse is faster and more stable on
         # TPU than the LU path of jnp.linalg.inv
         C = jnp.linalg.cholesky(K)

@@ -62,3 +62,19 @@ def test_forward_trot_tracks_velocity():
     # mean cruise velocity close to the command
     v_cruise = np.asarray(logs.base_vel[300:, 0])
     assert abs(v_cruise.mean() - 0.3) < 0.12
+
+
+def test_async_mpc_rollout_stands():
+    """Stale-plan (async MPC) semantics: closed loop stays upright while
+    consuming one-period-stale plans (scripts/MPC_Wrapper.py:89-103)."""
+    from qrw_tpu.config import Config
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+    cfg = Config(mpc_async=True)
+    ctl, carry = make_rollout(cfg, dtype=jnp.float64)
+    n = 400
+    run = jax.jit(lambda c: rollout(
+        ctl, c, n, v_ref_schedule=jnp.zeros((n, 6), jnp.float64)))
+    _, logs = run(carry)
+    bp = np.asarray(logs.base_pos)
+    assert abs(bp[-1, 2] - cfg.h_ref) < 0.05, bp[-1]
+    assert not bool(np.asarray(logs.error).any())
