@@ -91,12 +91,15 @@ def main():
                            .astype(np.float32)) for _ in range(reps)]
     fsteps = jnp.asarray(fsteps)
     out = solve_batch(xrefs_r[0], fsteps)     # compile + warm up
-    jax.block_until_ready(out)
+    float(out[1].sum())
 
+    # NOTE: through the remote-TPU tunnel, block_until_ready can return
+    # before execution finishes — fetching a scalar is the only reliable
+    # synchronization, so each rep ends with a device->host read.
     t0 = time.perf_counter()
     for r in range(reps):
         out = solve_batch(xrefs_r[r], fsteps)
-        jax.block_until_ready(out)
+        float(out[1].sum())
     dt = (time.perf_counter() - t0) / reps
     solves_per_s = batch / dt
 
