@@ -69,6 +69,9 @@ class ControllerState(NamedTuple):
     mpc: mpc_mod.MPCState
     x_f_mpc: jnp.ndarray        # (24, N) latest MPC plan
     x_f_next: jnp.ndarray       # (24, N) in-flight plan (async MPC mode)
+    last_xref: jnp.ndarray      # (12, N+1) inputs of the latest MPC solve
+    last_fsteps: jnp.ndarray    # (N_gait, 12) (for offline re-solves,
+                                # crocoddyl_eval-style, SURVEY.md 4.3)
     wbc: wbc_mod.WBCState
     q: jnp.ndarray              # (19,) hybrid state estimate
     v: jnp.ndarray              # (18,)
@@ -133,6 +136,8 @@ def init_state(ctl: Controller, dtype=jnp.float32,
              else mpc_ddp.init_ddp_state(cfg, dtype)),
         x_f_mpc=jnp.zeros((24, cfg.n_steps), dtype),
         x_f_next=jnp.zeros((24, cfg.n_steps), dtype),
+        last_xref=jnp.zeros((12, cfg.n_steps + 1), dtype),
+        last_fsteps=jnp.zeros((cfg.N_gait, 12), dtype),
         wbc=wbc_mod.init_wbc_state(dtype),
         q=q, v=jnp.zeros(18, dtype), h_v=jnp.zeros(18, dtype),
         yaw_estim=jnp.zeros((), dtype),
@@ -302,6 +307,9 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
         gait=gait, footstep=fs_state, foot_traj=ft_state,
         estimator=est.state, mpc=mpc_state, x_f_mpc=x_f_mpc,
         x_f_next=x_f_next,
+        last_xref=jnp.where((k % k_mpc) == 0, xref, state.last_xref),
+        last_fsteps=jnp.where((k % k_mpc) == 0, fsteps,
+                              state.last_fsteps),
         wbc=wbc_res.state, q=q, v=v, h_v=h_v, yaw_estim=yaw_estim,
         qdes=wbc_res.qdes, vdes=wbc_res.vdes,
         feet_p_cmd=feet_p_cmd, feet_v_cmd=feet_v_cmd,

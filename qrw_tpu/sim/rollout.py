@@ -43,6 +43,8 @@ class RolloutLog(NamedTuple):
     feet_pos_ref: jnp.ndarray  # (T, 3, 4) swing-trajectory foot targets
     q_est: jnp.ndarray         # (T, 19) controller hybrid state estimate
     v_est: jnp.ndarray         # (T, 18) estimator velocity
+    mpc_xref: jnp.ndarray      # (T, 12, N+1) latest MPC solve inputs
+    mpc_fsteps: jnp.ndarray    # (T, N_gait, 12) (offline re-solve capture)
     error: jnp.ndarray         # (T,) security latch
     error_code: jnp.ndarray    # (T,) int32
 
@@ -76,6 +78,7 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
             tau_ff=result.tau_ff, tau_applied=ss.joint_torques,
             f_mpc=cs.x_f_mpc[12:, 0], feet_pos_ref=cs.foot_traj.position,
             q_est=cs.q, v_est=cs.v,
+            mpc_xref=cs.last_xref, mpc_fsteps=cs.last_fsteps,
             error=cs.error, error_code=cs.error_code,
         ) if with_logs else None
         return (cs, ss, device), log
