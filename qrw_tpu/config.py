@@ -39,6 +39,11 @@ class Config:
     T_mpc: float = 0.32                # MPC horizon [s]
     N_SIMULATION: int = 3000           # number of WBC ticks to simulate
     type_MPC: bool = True              # True: convex QP MPC, False: DDP MPC
+    # Footstep-optimizing DDP MPC (MPC_crocoddyl_planner): jointly
+    # optimizes footstep locations with contact forces; its touchdown
+    # targets override the Raibert heuristic for the swing trajectories.
+    # Takes precedence over type_MPC when set.
+    mpc_planner: bool = False
     use_flat_plane: bool = True        # flat vs bumpy terrain
     predefined_vel: bool = True        # velocity profile vs gamepad
     kf_enabled: bool = False           # Kalman (True) vs complementary filter

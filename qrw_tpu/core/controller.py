@@ -32,6 +32,7 @@ from qrw_tpu.config import Config
 from qrw_tpu.core import gait as gait_mod
 from qrw_tpu.core import mpc as mpc_mod
 from qrw_tpu.core import mpc_ddp
+from qrw_tpu.core import mpc_ddp_planner
 from qrw_tpu.core import wbc as wbc_mod
 from qrw_tpu.core.estimator import (DeviceData, EstimatorState,
                                     init_estimator_state, run_filter)
@@ -81,6 +82,8 @@ class ControllerState(NamedTuple):
     vdes: jnp.ndarray           # (12,)
     feet_p_cmd: jnp.ndarray     # (3, 4) previous-tick foot refs (base frame)
     feet_v_cmd: jnp.ndarray     # (3, 4)
+    planner_target: jnp.ndarray  # (3, 4) optimized touchdowns (world
+                                # frame) from the footstep-optimizing MPC
     error: jnp.ndarray          # () bool — security latch
     error_code: jnp.ndarray     # () int32 (1 pos, 2 vel, 3 torque)
 
@@ -131,8 +134,12 @@ def init_state(ctl: Controller, dtype=jnp.float32,
         foot_traj=make_foot_traj_state(p0),
         estimator=init_estimator_state(cfg, H_INIT, dtype),
         # type_MPC selects the QP (OSQP-equivalent) or DDP (Crocoddyl-
-        # equivalent) backend (scripts/MPC_Wrapper.py:59-64)
-        mpc=(mpc_mod.init_mpc_state(cfg, dtype) if cfg.type_MPC
+        # equivalent) backend (scripts/MPC_Wrapper.py:59-64);
+        # mpc_planner selects the footstep-optimizing DDP variant
+        # (scripts/crocoddyl_class/MPC_crocoddyl_planner.py)
+        mpc=(mpc_ddp_planner.init_planner_state(cfg, dtype)
+             if cfg.mpc_planner
+             else mpc_mod.init_mpc_state(cfg, dtype) if cfg.type_MPC
              else mpc_ddp.init_ddp_state(cfg, dtype)),
         x_f_mpc=jnp.zeros((24, cfg.n_steps), dtype),
         x_f_next=jnp.zeros((24, cfg.n_steps), dtype),
@@ -144,6 +151,7 @@ def init_state(ctl: Controller, dtype=jnp.float32,
         qdes=q_init, vdes=jnp.zeros(12, dtype),
         feet_p_cmd=jnp.zeros((3, 4), dtype),
         feet_v_cmd=jnp.zeros((3, 4), dtype),
+        planner_target=p0,
         error=jnp.asarray(False),
         error_code=jnp.zeros((), jnp.int32),
     )
@@ -201,8 +209,13 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
         (k_mpc - k % k_mpc).astype(dtype), q[0:7], h_v[0:6], v_ref[0:6])
 
     # ---- swing trajectories ----------------------------------------------
+    # With the footstep-optimizing MPC, the touchdown targets come from
+    # the previous planner solve instead of the Raibert heuristic (the
+    # reference's planner feeds its optimized fsteps back the same way,
+    # MPC_crocoddyl_planner.get_fsteps -> foot trajectory generator)
+    swing_target = state.planner_target if cfg.mpc_planner else o_target
     ft_state = update_foot_trajectory(cfg, gait, state.foot_traj, k,
-                                      o_target)
+                                      swing_target)
 
     # ---- reference states -------------------------------------------------
     xref = compute_reference_states(q[0:7], h_v[0:6], v_ref[0:6],
@@ -227,7 +240,14 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
                          rolled.at[12:, -1].set(term), rolled)
 
     def run_mpc(_):
-        if cfg.type_MPC:
+        new_target = state.planner_target
+        if cfg.mpc_planner:
+            l_feet = oRh.T @ (state.foot_traj.position - oTh[:, None])
+            res = mpc_ddp_planner.solve_mpc_planner(
+                cfg, xref, fsteps, l_feet, state.mpc,
+                cycle=(k // k_mpc).astype(jnp.int32))
+            new_target = oRh @ res.o_target + oTh[:, None]
+        elif cfg.type_MPC:
             res = mpc_mod.solve_mpc(cfg, xref, fsteps, state.mpc,
                                     ctl.mpc_settings)
         else:
@@ -237,14 +257,15 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
             # plan (rolled); the fresh solve is applied next period
             used = jnp.where(k == 0, res.x_f_applied,
                              stale_roll(state.x_f_next))
-            return used, res.x_f_applied, res.state
-        return res.x_f_applied, res.x_f_applied, res.state
+            return used, res.x_f_applied, res.state, new_target
+        return res.x_f_applied, res.x_f_applied, res.state, new_target
 
     def keep_mpc(_):
-        return state.x_f_mpc, state.x_f_next, state.mpc
+        return (state.x_f_mpc, state.x_f_next, state.mpc,
+                state.planner_target)
 
-    x_f_mpc, x_f_next, mpc_state = lax.cond((k % k_mpc) == 0, run_mpc,
-                                            keep_mpc, None)
+    x_f_mpc, x_f_next, mpc_state, planner_target = lax.cond(
+        (k % k_mpc) == 0, run_mpc, keep_mpc, None)
 
     # ---- WBC target assembly (scripts/Controller.py:258-269) -------------
     x_f_wbc = x_f_mpc[:, 0]
@@ -313,5 +334,6 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
         wbc=wbc_res.state, q=q, v=v, h_v=h_v, yaw_estim=yaw_estim,
         qdes=wbc_res.qdes, vdes=wbc_res.vdes,
         feet_p_cmd=feet_p_cmd, feet_v_cmd=feet_v_cmd,
+        planner_target=planner_target,
         error=new_err, error_code=code)
     return new_state, result

@@ -18,11 +18,12 @@ instead of a condensed QP. Semantics mirrored from the reference wrapper:
     dynamics (same linearization as src/MPC.cpp:439-447); the nonlinear
     variant uses the current iterate's yaw (linearModel flag, :20).
 
-The solver is a batched iLQR: vmap-able over scenarios, lax.scan
-backward Riccati sweep + forward rollouts, parallel line search over a
-fixed alpha schedule, Levenberg regularization on Quu. Derivatives of the
-per-node residual costs (friction cone, shoulder) are Gauss-Newton with
-branch-free active-set masks, so the whole solve jits with static shapes.
+The solver is the generic batched iLQR of ops/ilqr.py (lax.scan
+backward Riccati sweep, vmapped parallel line search, Levenberg
+regularization on Quu); this module supplies the SRB action-model
+closures. Derivatives of the per-node residual costs (friction cone,
+shoulder) are exact via autodiff with branch-free active-set masks, so
+the whole solve jits with static shapes.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ import numpy as np
 
 from qrw_tpu.config import Config
 from qrw_tpu.core.mpc import gait_from_fsteps
+from qrw_tpu.ops import ilqr
 from qrw_tpu.ops.rotations import rot_z, skew
 
 # Reference weight derivation (MPC_crocoddyl.py:44-66)
@@ -61,6 +63,13 @@ class DDPSettings(NamedTuple):
     reg_inc: float = 10.0        # on rejected iteration (crocoddyl regfactor)
     reg_dec: float = 0.1         # on accepted iteration
     nonlinear: bool = False      # linearModel flag (:20)
+
+    def to_ilqr(self) -> ilqr.ILQRSettings:
+        return ilqr.ILQRSettings(
+            max_iters=self.max_iters, alphas=self.alphas,
+            reg_init=self.reg_init, reg_min=self.reg_min,
+            reg_max=self.reg_max, reg_inc=self.reg_inc,
+            reg_dec=self.reg_dec)
 
 
 class DDPState(NamedTuple):
@@ -178,98 +187,14 @@ def solve_mpc_ddp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
         return _stage_cost(cfg, x, jnp.zeros(12, dtype), xref_n[-1],
                            feet[-1], gait[-1], terminal=True)
 
-    def rollout(us):
-        def f(x, ku):
-            k, u = ku
-            xn = step_k(x, u, k)
-            return xn, (x, cost_k(x, u, k))
-        ks = jnp.arange(N)
-        xN, (xs, cs) = jax.lax.scan(f, x0, (ks, us))
-        total = cs.sum() + cost_T(xN)
-        return jnp.concatenate([xs, xN[None]]), total
+    def project_u(u, k):
+        return u * _u_mask(gait[k])
 
-    xs0, cost0 = rollout(us0)
+    res = ilqr.solve(step_k, cost_k, cost_T, x0, us0,
+                     settings.to_ilqr(), project_u=project_u)
 
-    # per-node derivative functions (exact via autodiff)
-    fx_fn = jax.vmap(jax.jacfwd(step_k, argnums=0))
-    fu_fn = jax.vmap(jax.jacfwd(step_k, argnums=1))
-    lx_fn = jax.vmap(jax.grad(cost_k, argnums=0))
-    lu_fn = jax.vmap(jax.grad(cost_k, argnums=1))
-    lxx_fn = jax.vmap(jax.hessian(cost_k, argnums=0))
-    luu_fn = jax.vmap(jax.hessian(cost_k, argnums=1))
-    lux_fn = jax.vmap(jax.jacfwd(jax.grad(cost_k, argnums=1), argnums=0))
-
-    def ddp_iter(carry, _):
-        xs, us, cost, reg = carry
-        ks = jnp.arange(N)
-        fx = fx_fn(xs[:-1], us, ks)
-        fu = fu_fn(xs[:-1], us, ks)
-        lx = lx_fn(xs[:-1], us, ks)
-        lu = lu_fn(xs[:-1], us, ks)
-        lxx = lxx_fn(xs[:-1], us, ks)
-        luu = luu_fn(xs[:-1], us, ks)
-        lux = lux_fn(xs[:-1], us, ks)
-        Vx = jax.grad(cost_T)(xs[-1])
-        Vxx = jax.hessian(cost_T)(xs[-1])
-
-        def backward(carryV, inp):
-            Vx, Vxx = carryV
-            fx_k, fu_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
-            Qx = lx_k + fx_k.T @ Vx
-            Qu = lu_k + fu_k.T @ Vx
-            Qxx = lxx_k + fx_k.T @ Vxx @ fx_k
-            Quu = (luu_k + fu_k.T @ Vxx @ fu_k
-                   + reg * jnp.eye(12, dtype=dtype))
-            Qux = lux_k + fu_k.T @ Vxx @ fx_k
-            # LU solve: Quu can transiently lose PD-ness at early iterates
-            # (active-set switches in the penalty hessians); Cholesky NaNs
-            # would poison the line search.
-            kff = -jnp.linalg.solve(Quu, Qu)
-            K = -jnp.linalg.solve(Quu, Qux)
-            Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
-            Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-            Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
-            return (Vx_n, Vxx_n), (kff, K)
-
-        _, (kffs, Ks) = jax.lax.scan(
-            backward, (Vx, Vxx), (fx, fu, lx, lu, lxx, luu, lux),
-            reverse=True)
-
-        def forward(alpha):
-            def f(x, inp):
-                k, u_old, x_old, kff, K = inp
-                u = u_old + alpha * kff + K @ (x - x_old)
-                u = u * _u_mask(gait[k])
-                xn = step_k(x, u, k)
-                return xn, (x, u, cost_k(x, u, k))
-            xN, (xs_n, us_n, cs) = jax.lax.scan(
-                f, x0, (ks, us, xs[:-1], kffs, Ks))
-            total = cs.sum() + cost_T(xN)
-            return jnp.concatenate([xs_n, xN[None]]), us_n, total
-
-        alphas = jnp.asarray(settings.alphas, dtype)
-        xs_c, us_c, costs_c = jax.vmap(forward)(alphas)
-        costs_c = jnp.where(jnp.isnan(costs_c), jnp.inf, costs_c)
-        best = jnp.argmin(costs_c)
-        improved = costs_c[best] < cost
-        xs_new = jnp.where(improved, xs_c[best], xs)
-        us_new = jnp.where(improved, us_c[best], us)
-        cost_new = jnp.where(improved, costs_c[best], cost)
-        # Levenberg-Marquardt schedule (crocoddyl increaseRegularization/
-        # decreaseRegularization semantics)
-        reg_new = jnp.where(improved,
-                            jnp.maximum(reg * settings.reg_dec,
-                                        settings.reg_min),
-                            jnp.minimum(reg * settings.reg_inc,
-                                        settings.reg_max))
-        return (xs_new, us_new, cost_new, reg_new), cost_new
-
-    reg0 = jnp.asarray(settings.reg_init, dtype)
-    (xs, us, cost, _), cost_trace = jax.lax.scan(
-        ddp_iter, (xs0, us0, cost0, reg0), None,
-        length=settings.max_iters)
-
-    x_f = jnp.concatenate([xs[1:].T, us.T], axis=0)          # (24, N)
-    return DDPResult(x_f_applied=x_f, state=DDPState(xs=xs, us=us),
-                     cost=cost, cost_trace=cost_trace,
+    x_f = jnp.concatenate([res.xs[1:].T, res.us.T], axis=0)  # (24, N)
+    return DDPResult(x_f_applied=x_f,
+                     state=DDPState(xs=res.xs, us=res.us),
+                     cost=res.cost, cost_trace=res.cost_trace,
                      iters=jnp.asarray(settings.max_iters, jnp.int32))
