@@ -209,3 +209,65 @@ def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
     return MPCResult(x_f_applied=x_f,
                      state=MPCState(f=sol.x, y=sol.y),
                      iters=sol.iters, converged=sol.converged)
+
+
+class MPCBatchState(NamedTuple):
+    """Warm-start carry of the batched Pallas MPC: previous primal/dual,
+    adapted rho, and the reusable Ruiz preconditioner (OSQP keeps all of
+    these in its persistent workspace between osqp_solve calls,
+    src/MPC.cpp:547-556)."""
+    f: jnp.ndarray            # (B, 12N)
+    y: jnp.ndarray            # (B, 32N)
+    rho: jnp.ndarray          # (B, 1)
+    D: jnp.ndarray            # (B, 12N)
+    E: jnp.ndarray            # (B, 32N)
+    c: jnp.ndarray            # (B, 1)
+
+
+def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
+                           fsteps: jnp.ndarray,
+                           state: Optional[MPCBatchState] = None,
+                           settings: Optional["qp.QPSettings"] = None,
+                           schedule=None, tile: int = 16,
+                           interpret: bool = False):
+    """Batched MPC solve on the fused Pallas ADMM kernel (ops/qp_pallas).
+
+    xrefs (B, 12, N+1); fsteps (B, N_gait, 12). Cold call (state=None)
+    runs Ruiz + the rho-adaptation schedule; warm calls reuse the
+    preconditioner and adapted rho and default to a single short round.
+    Returns (x_f_applied (B, 24, N), new_state, result).
+    """
+    import jax
+    from qrw_tpu.ops import qp_pallas
+    N = cfg.n_steps
+    dtype = jnp.float32
+    if settings is None:
+        settings = qp.QPSettings(
+            sigma=cfg.osqp_sigma, alpha=cfg.osqp_alpha, rho=cfg.osqp_rho,
+            eps_abs=1e-4, eps_rel=1e-4, max_iter=cfg.mpc_max_iter,
+            adaptive_rho_interval=cfg.osqp_adaptive_rho_interval,
+            adaptive_rho_tolerance=cfg.osqp_adaptive_rho_tolerance)
+    H, qlin, l, u, G, h = jax.vmap(
+        lambda x, f: build_qp(cfg, x.astype(dtype), f.astype(dtype))
+    )(xrefs, fsteps)
+    A = jnp.asarray(cone_matrix(N, cfg.mu), dtype)
+    cone = qp.ConeStructure(N, cfg.mu)
+    kw = {}
+    if state is not None:
+        kw = dict(x0=state.f, y0=state.y, rho_init=state.rho,
+                  precond=(state.D, state.E, state.c))
+        if schedule is None:
+            schedule = [100]
+    sol = qp_pallas.solve(H, qlin, A, l, u, settings, tile=tile,
+                          schedule=schedule, cone=cone,
+                          interpret=interpret, **kw)
+    with jax.default_matmul_precision("highest"):
+        dx = jnp.einsum("bij,bj->bi", G, sol.x) + h
+    states = (dx.reshape(-1, N, 12).transpose(0, 2, 1)
+              + xrefs[:, :, 1:N + 1])
+    forces = sol.x.reshape(-1, N, 12).transpose(0, 2, 1)
+    x_f = jnp.concatenate([states, forces], axis=1)          # (B, 24, N)
+    D, E, c = sol.precond
+    new_state = MPCBatchState(f=sol.x, y=sol.y, rho=sol.rho,
+                              D=D, E=E, c=c)
+    return x_f, new_state, sol

@@ -1,0 +1,304 @@
+"""Pallas TPU kernel for the batched ADMM QP iteration loop.
+
+The XLA path (ops/qp.py) expresses each ADMM iteration as ~15 small ops
+inside a lax.while_loop; at the controller's problem size (n=192 vars,
+m=512 rows) every op is launch-latency / HBM-bound and the chip idles
+(~600 solves/s regardless of batch size). This kernel runs the ENTIRE
+iteration loop for a tile of problems inside one pallas_call with all
+problem data resident in VMEM: K^-1, P and the vector state are read
+from HBM exactly once per problem and every iteration is a couple of
+MXU matmuls.
+
+Two structural facts make the kernel MXU-shaped instead of a bag of
+GEMVs:
+
+1. **The constraint matrix A is SHARED across problems** (the MPC cone
+   matrix is constant — core/mpc.py cone_matrix). OSQP's per-problem
+   Ruiz equilibration would destroy that (A_scaled = E A D differs per
+   problem), so the kernel runs the algebraically identical
+   *preconditioned* ADMM in the ORIGINAL variables: the scaled iteration
+   with (D, E, c) equals the unscaled iteration with diagonal
+   sigma_vec = (sigma/c) D^-2 and rho_vec' = (1/c) E^2 rho_class —
+   derivation: substitute x = D x_scaled into osqp's x-update and
+   multiply through by (cD)^-1. With A shared, the two A-matvecs of a
+   whole tile become real matmuls (TILE, m) @ (m, n) on the MXU.
+
+2. **K^-1 is symmetric**, so the per-problem solve x = K^-1 b is a
+   sublane-axis mult-reduce sum_i Kinv[t,i,j] b[t,i] that lands with the
+   vector dimension on lanes — no per-iteration transposes anywhere.
+
+Division of labor (the Mosaic toolchain here crashes on vector-valued
+convergence bookkeeping carried through fori loops, so control stays
+outside): the kernel runs a FIXED number of iterations; the wrapper
+checks OSQP's unscaled residual termination in XLA (three matmuls, once
+per round), applies OSQP's residual-based rho adaptation with
+refactorization (osqp adapt_rho; src/MPC.cpp:527-540 settings), and
+re-invokes the kernel warm-started until converged or out of budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qrw_tpu.ops import qp
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _admm_kernel(Kinv_ref, P_ref, A_ref, q_ref, l_ref, u_ref,
+                 rho_ref, sig_ref, x0_ref, y0_ref,
+                 x_ref, y_ref, z_ref, pri_ref, dua_ref, n1_ref, n2_ref,
+                 *, alpha, n_iters):
+    """One tile: TILE problems, vectors laid out (TILE, dim); runs
+    exactly n_iters ADMM steps, then computes OSQP's unscaled residual
+    norms once (per-problem scalars broadcast over (TILE, n) rows —
+    narrower shapes crash the Mosaic layout pass on this toolchain)."""
+    f32 = jnp.float32
+    A = A_ref[:]              # (m, n) shared
+    Kinv = Kinv_ref[:]        # (TILE, n, n) symmetric
+    q = q_ref[:]              # (TILE, n)
+    l = l_ref[:]              # (TILE, m)
+    u = u_ref[:]
+    rho = rho_ref[:]          # (TILE, m) diagonal rho'
+    sig = sig_ref[:]          # (TILE, n) diagonal sigma'
+    rho_inv = 1.0 / rho
+
+    def Amul(V):              # (TILE, n) -> (TILE, m): rows (A v_t)'
+        return jax.lax.dot_general(
+            V, A, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=HI)
+
+    def Atmul(W):             # (TILE, m) -> (TILE, n): rows (A' w_t)'
+        return jax.lax.dot_general(
+            W, A, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=HI)
+
+    x = x0_ref[:]             # (TILE, n)
+    y = y0_ref[:]             # (TILE, m)
+    z = Amul(x)
+
+    def step(_, s):
+        x, z, y = s
+        b = sig * x - q + Atmul(rho * z - y)
+        # sum_i Kinv[t,i,j] b[t,i]: K^-1 symmetric, sublane reduction
+        # keeps the vector dim on lanes
+        xt = jnp.sum(Kinv * b[:, :, None], axis=1)
+        zt = Amul(xt)
+        xn = alpha * xt + (1.0 - alpha) * x
+        zr = alpha * zt + (1.0 - alpha) * z
+        zn = jnp.clip(zr + y * rho_inv, l, u)
+        yn = y + rho * (zr - zn)
+        return xn, zn, yn
+
+    x, z, y = jax.lax.fori_loop(0, n_iters, step, (x, z, y))
+    x_ref[:] = x
+    y_ref[:] = y
+    z_ref[:] = z
+
+    # one residual evaluation (termination handled by the wrapper)
+    tile, n = q.shape
+    P = P_ref[:]
+    Ax = Amul(x)
+    Px = jnp.sum(P * x[:, :, None], axis=1)      # P symmetric
+    Aty = Atmul(y)
+    amax = lambda V: jnp.broadcast_to(
+        jnp.max(jnp.abs(V), axis=1, keepdims=True), (tile, n))
+    pri_ref[:] = amax(Ax - z)
+    dua_ref[:] = amax(Px + q + Aty)
+    n1_ref[:] = jnp.maximum(amax(Ax), amax(z))       # eps_pri scale
+    n2_ref[:] = jnp.maximum(amax(Px), amax(Aty))     # eps_dua scale (w/o q)
+
+
+class PallasQPResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    iters: jnp.ndarray
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+    converged: jnp.ndarray
+    rho: jnp.ndarray         # (B, 1) adapted rho — carry to the next
+                             # warm-started solve (osqp keeps its
+                             # workspace rho between osqp_solve calls)
+    precond: tuple           # (D, E, c) — reusable preconditioner
+
+
+def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None):
+    """K = P + diag(sig) + A' diag(rho) A, return K^-1 (SPD-> Cholesky).
+
+    With the MPC cone structure, A = [F; I] where F is block-diagonal
+    with 5x3 blocks per (step, foot): A'RA collapses to 64 3x3 blocks
+    plus the identity-row diagonal — no (B, m, n) einsum."""
+    n = P.shape[-1]
+    ii = np.arange(n)
+    if cone is not None:
+        mc = 20 * cone.n_steps
+        nb = 4 * cone.n_steps
+        C5 = jnp.asarray(cone.cone_rows(), P.dtype)          # (5, 3)
+        rc = rho_vec[:, :mc].reshape(-1, nb, 5)
+        blocks = jnp.einsum("ca,bkc,cd->bkad", C5, rc, C5)   # (B,nb,3,3)
+        rows = (3 * np.repeat(np.arange(nb), 9)
+                + np.tile(np.repeat(np.arange(3), 3), nb))
+        cols = (3 * np.repeat(np.arange(nb), 9)
+                + np.tile(np.arange(3), 3 * nb))
+        K = P.at[:, rows, cols].add(blocks.reshape(P.shape[0], -1))
+        K = K.at[:, ii, ii].add(sig_vec + rho_vec[:, mc:])
+    else:
+        AtRA = jnp.einsum("ma,bm,mc->bac", A, rho_vec, A)
+        K = P + AtRA
+        K = K.at[:, ii, ii].add(sig_vec)
+    C = jnp.linalg.cholesky(K)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), K.shape)
+    return jax.scipy.linalg.cho_solve((C, True), eye)
+
+
+def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,
+                alpha: float, n_iters: int, tile: int, interpret: bool):
+    dtype = jnp.float32
+    B, n = q.shape
+    m = l.shape[-1]
+
+    pad = (-B) % tile
+    if pad:
+        padded = lambda X: jnp.concatenate(
+            [X, jnp.broadcast_to(X[:1], (pad,) + X.shape[1:])], axis=0)
+        Kinv, P, q, l, u, rho_vec, sig_vec, xw, yw = map(
+            padded, (Kinv, P, q, l, u, rho_vec, sig_vec, xw, yw))
+    Bp = B + pad
+
+    kernel = functools.partial(_admm_kernel, alpha=float(alpha),
+                               n_iters=int(n_iters))
+    grid = (Bp // tile,)
+
+    def spec3(d1, d2):
+        return pl.BlockSpec((tile, d1, d2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec2(d):
+        return pl.BlockSpec((tile, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    shared = pl.BlockSpec((m, n), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    x_out, y_out, z_out, pri, dua, n1, n2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec3(n, n), spec3(n, n), shared,
+                  spec2(n), spec2(m), spec2(m),
+                  spec2(m), spec2(n), spec2(n), spec2(m)],
+        out_specs=[spec2(n), spec2(m), spec2(m),
+                   spec2(n), spec2(n), spec2(n), spec2(n)],
+        out_shape=[jax.ShapeDtypeStruct((Bp, n), dtype),
+                   jax.ShapeDtypeStruct((Bp, m), dtype),
+                   jax.ShapeDtypeStruct((Bp, m), dtype),
+                   jax.ShapeDtypeStruct((Bp, n), dtype),
+                   jax.ShapeDtypeStruct((Bp, n), dtype),
+                   jax.ShapeDtypeStruct((Bp, n), dtype),
+                   jax.ShapeDtypeStruct((Bp, n), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw)
+    sl = slice(0, B)
+    return (x_out[sl], y_out[sl], z_out[sl],
+            pri[sl, 0], dua[sl, 0], n1[sl, 0], n2[sl, 0])
+
+
+def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
+          x0=None, y0=None, tile: int = 16, schedule=None,
+          cone: qp.ConeStructure = None, precond=None, rho_init=None,
+          interpret: bool = False) -> PallasQPResult:
+    """Batched QP solve with the fused Pallas ADMM kernel.
+
+    P (B, n, n); q (B, n); A (m, n) SHARED across the batch; l/u (B, m).
+    Matches ops/qp.solve semantics: fixed rho per round, OSQP's
+    residual-based rho adaptation + refactorization between rounds.
+    `schedule` is the per-round iteration budget — default puts a SHORT
+    first round before the first adaptation (the default rho=0.1 is far
+    from optimal for the MPC problems; OSQP burns its whole first
+    adaptive_rho_interval discovering that), then `adaptive_rho_interval`
+    per round up to max_iter. Warm starts (x0/y0) pass through unscaled.
+
+    `precond` = (D, E, c) reuses the Ruiz preconditioner from a previous
+    solve on a nearby problem and skips the in-call equilibration — any
+    diagonal preconditioner is algorithmically exact (termination is
+    evaluated unscaled), so this trades nothing but conditioning slack.
+    `rho_init` (B, 1) carries the adapted rho from a previous solve.
+    """
+    dtype = jnp.float32
+    P = jnp.asarray(P, dtype)
+    q = jnp.asarray(q, dtype)
+    A = jnp.asarray(A, dtype)
+    l = jnp.asarray(l, dtype)
+    u = jnp.asarray(u, dtype)
+    assert A.ndim == 2, "pallas path requires a shared constraint matrix"
+    B, n = q.shape
+    s = settings
+    if schedule is None:
+        interval = min(s.adaptive_rho_interval, s.max_iter)
+        first = min(50, interval)
+        schedule = [first]
+        while sum(schedule) < s.max_iter:
+            schedule.append(min(interval, s.max_iter - sum(schedule)))
+
+    with jax.default_matmul_precision("highest"):
+        if precond is not None:
+            D, E, c = precond
+        elif s.scaling_iters > 0:
+            D, E, c = qp.ruiz_equilibrate(P, q, A, s.scaling_iters)
+        else:
+            D = jnp.ones_like(q)
+            E = jnp.ones_like(l)
+            c = jnp.ones((B, 1), dtype)
+        sig_vec = (s.sigma / c) / (D * D)
+        Escaled_l, Escaled_u = E * l, E * u
+        EE_over_c = E * E / c
+
+    def rho_to_vec(rho):
+        rho_class = qp.rho_vec_for_bounds(Escaled_l, Escaled_u, rho)
+        return rho_class * EE_over_c
+
+    x = jnp.zeros_like(q) if x0 is None else jnp.asarray(x0, dtype)
+    y = jnp.zeros_like(l) if y0 is None else jnp.asarray(y0, dtype)
+    rho = (jnp.full((B, 1), s.rho, dtype) if rho_init is None
+           else jnp.asarray(rho_init, dtype))
+    nrm_q = jnp.max(jnp.abs(q), axis=1)
+
+    iters = jnp.zeros((B,), jnp.int32)
+    pri = dua = z = None
+    conv = jnp.zeros((B,), bool)
+    for r, n_iters in enumerate(schedule):
+        rho_vec = rho_to_vec(rho)
+        with jax.default_matmul_precision("highest"):
+            Kinv = _factor(P, A, rho_vec, sig_vec, cone)
+        x, y, z, pri, dua, n1, n2 = _run_kernel(
+            Kinv, P, A, q, l, u, rho_vec, sig_vec, x, y,
+            s.alpha, n_iters, tile, interpret)
+        prev_conv = conv
+        eps_p = s.eps_abs + s.eps_rel * n1
+        eps_d = s.eps_abs + s.eps_rel * jnp.maximum(n2, nrm_q)
+        conv = conv | ((pri <= eps_p) & (dua <= eps_d))
+        iters = iters + jnp.where(prev_conv, 0, n_iters)
+        if r + 1 < len(schedule):
+            # osqp compute_rho_estimate from the kernel's norms
+            denom_p = jnp.maximum(n1, 1e-30)
+            denom_d = jnp.maximum(jnp.maximum(n2, nrm_q), 1e-30)
+            ratio = (pri / denom_p) / jnp.maximum(dua / denom_d, 1e-30)
+            scale = jnp.sqrt(ratio)[:, None]
+            want = ((scale > s.adaptive_rho_tolerance)
+                    | (scale < 1.0 / s.adaptive_rho_tolerance))
+            want = want & ~conv[:, None]
+            rho = jnp.where(want,
+                            jnp.clip(rho * scale, qp.RHO_MIN, qp.RHO_MAX),
+                            rho)
+    return PallasQPResult(x=x, y=y, z=z, iters=iters, pri_res=pri,
+                          dua_res=dua, converged=conv, rho=rho,
+                          precond=(D, E, c))
