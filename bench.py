@@ -60,7 +60,7 @@ def main():
                     help="quick CPU run with a small batch")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
-    ap.add_argument("--warm-iters", type=int, default=75)
+    ap.add_argument("--warm-iters", type=int, default=50)
     args = ap.parse_args()
 
     import jax

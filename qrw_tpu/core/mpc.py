@@ -179,6 +179,124 @@ def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
     return H, qlin, l, u, G, h
 
 
+@functools.lru_cache(maxsize=8)
+def _h_coeffs(n_steps: int):
+    """Closed-form coefficient matrices of the structured H build.
+
+    With G[t, j] = mask(t>=j) [ (t-j) dt Bl_j ; Bl_j ] (see _build_qp),
+    H[j,l] = dt^2 S2[j,l] Bl_j' Wtop Bl_l + S0[j,l] Bl_j' Wbot Bl_l where
+      S0[j,l] = #{t >= max(j,l)} and S2[j,l] = sum_t (t-j)(t-l)."""
+    N = n_steps
+    j = np.arange(N)
+    mx = np.maximum(j[:, None], j[None, :])
+    S0 = (N - mx).astype(np.float64)
+    t = np.arange(N)
+    tj = (t[None, :] - j[:, None])                     # (j, t): t - j
+    mask = (t[None, :] >= mx[..., None])               # (j, l, t)
+    S2 = np.einsum("jlt,jt,lt->jl", mask, tj, tj)
+    return S0, S2
+
+
+def build_qp_compact(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
+    """Structured condensed-QP build: identical (H, qlin, l, u) to
+    build_qp but ~60x fewer FLOPs — H comes from two (N,6,12)x(N,6,12)
+    einsums with closed-form scalar coefficients instead of
+    materializing G (192x192) and a dense G'WG product. Returns
+    (H, qlin, l, u, Bl, h); recover the state response with
+    recover_dx(cfg, Bl, x, h)."""
+    import jax
+    with jax.default_matmul_precision("highest"):
+        N = cfg.n_steps
+        dt = cfg.dt_mpc
+        dtype = xref.dtype
+        # reuse the existing assembly for Bl / h / bounds via _build_qp's
+        # internals, recomputed here without forming G
+        gait = gait_from_fsteps(fsteps, N)
+        gI = jnp.asarray(np.asarray(cfg.gI).reshape(3, 3), dtype)
+        yaw = xref[5, :N]
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        z = jnp.zeros_like(c)
+        o = jnp.ones_like(c)
+        Rz = jnp.stack([jnp.stack([c, -s, z], -1),
+                        jnp.stack([s, c, z], -1),
+                        jnp.stack([z, z, o], -1)], -2)
+        RgIR = jnp.einsum("kji,jl,klm->kim", Rz, gI, Rz)
+        I_inv = jnp.linalg.inv(RgIR)
+        feet = fsteps[:N].reshape(N, 4, 3)
+        com = xref[0:3, :N].T + jnp.asarray(
+            [0.0, 0.0, cfg.offset_com_z], dtype)
+        lever = feet - com[:, None, :]
+        tor = dt * jnp.einsum("kab,kibc->kaic", I_inv, skew(lever))
+        frc = (dt / cfg.mass) * jnp.tile(
+            jnp.eye(3, dtype=dtype)[:, None, :], (1, 4, 1))
+        Bl = jnp.concatenate(
+            [jnp.broadcast_to(frc[None], (N, 3, 4, 3)), tor],
+            axis=1).reshape(N, 6, 12)                     # (N, 6, 12)
+
+        # free response h (identical to _build_qp)
+        kk = jnp.arange(N)
+        p = kk[:, None] - kk[None, :]
+        mask = (p >= 0).astype(dtype)
+        gvec = jnp.zeros(12, dtype).at[8].set(-cfg.gravity * dt)
+        xj = xref[:, :N].T
+        Axj = xj.at[:, 0:6].add(dt * xj[:, 6:12])
+        r = Axj + gvec[None, :] - xref[:, 1:N + 1].T
+        rE = jnp.zeros_like(r).at[:, 0:6].set(r[:, 6:12])
+        hblk = (mask[:, :, None]
+                * (r[None] + (p.astype(dtype) * dt)[:, :, None]
+                   * rE[None])).sum(axis=1)               # (N, 12)
+
+        # ---- H via the closed form -----------------------------------
+        w = jnp.asarray(cfg.w_state, dtype)
+        wtop, wbot = w[0:6], w[6:12]
+        S0, S2 = _h_coeffs(N)
+        S0 = jnp.asarray(S0, dtype)
+        S2 = jnp.asarray(S2, dtype)
+        M1 = jnp.einsum("jai,a,lak->jlik", Bl, wtop, Bl)  # (N,N,12,12)
+        M2 = jnp.einsum("jai,a,lak->jlik", Bl, wbot, Bl)
+        Hblk = (dt * dt) * S2[:, :, None, None] * M1 \
+            + S0[:, :, None, None] * M2
+        H = Hblk.transpose(0, 2, 1, 3).reshape(12 * N, 12 * N)
+        H = H + cfg.w_force * jnp.eye(12 * N, dtype=dtype)
+
+        # ---- qlin = G' W h --------------------------------------------
+        htop_w = wtop[None, :] * hblk[:, 0:6]             # (N, 6)
+        hbot_w = wbot[None, :] * hblk[:, 6:12]
+        # T1[j] = sum_{t>=j} (t-j) htop_w[t]; T2[j] = sum_{t>=j} hbot_w[t]
+        pm = mask.T * p.T.astype(dtype)                   # (j, t): (t-j)+
+        T1 = pm @ htop_w                                  # (N, 6)
+        T2 = mask.T @ hbot_w
+        qlin = jnp.einsum("jai,ja->ji", Bl,
+                          dt * T1 + T2).reshape(12 * N)
+
+        # ---- bounds (identical to _build_qp) --------------------------
+        inf = jnp.asarray(np.inf, dtype)
+        l_f = jnp.tile(jnp.asarray([-inf, -inf, -inf, -inf, -cfg.fz_max],
+                                   dtype), 4 * N)
+        u_f = jnp.zeros(20 * N, dtype)
+        contact = jnp.repeat(gait.reshape(-1), 3)
+        l_b = jnp.where(contact > 0, -inf, 0.0)
+        u_b = jnp.where(contact > 0, inf, 0.0)
+        l = jnp.concatenate([l_f, l_b])
+        u = jnp.concatenate([u_f, u_b])
+    return H, qlin, l, u, Bl, hblk.reshape(12 * N)
+
+
+def recover_dx(cfg: Config, Bl: jnp.ndarray, x: jnp.ndarray,
+               h: jnp.ndarray) -> jnp.ndarray:
+    """dx = G x + h without materializing G: cumulative sums over the
+    block-lower-triangular structure."""
+    N = cfg.n_steps
+    dt = cfg.dt_mpc
+    s = jnp.einsum("jai,ji->ja", Bl, x.reshape(N, 12))    # (N, 6)
+    cum = jnp.cumsum(s, axis=0)
+    j = jnp.arange(N, dtype=x.dtype)
+    cum_js = jnp.cumsum(j[:, None] * s, axis=0)
+    top = dt * (j[:, None] * cum - cum_js)                # (N, 6)
+    dx = jnp.concatenate([top, cum], axis=1) + h.reshape(N, 12)
+    return dx.reshape(12 * N)
+
+
 def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
               state: Optional[MPCState] = None,
               settings: Optional[qp.QPSettings] = None) -> MPCResult:
@@ -213,15 +331,18 @@ def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
 
 class MPCBatchState(NamedTuple):
     """Warm-start carry of the batched Pallas MPC: previous primal/dual,
-    adapted rho, and the reusable Ruiz preconditioner (OSQP keeps all of
-    these in its persistent workspace between osqp_solve calls,
-    src/MPC.cpp:547-556)."""
+    adapted rho, the reusable Ruiz preconditioner, and the last K^-1
+    (seed for the Newton-Schulz warm refactorization). OSQP keeps all of
+    these in its persistent workspace between osqp_solve calls
+    (src/MPC.cpp:547-556)."""
     f: jnp.ndarray            # (B, 12N)
     y: jnp.ndarray            # (B, 32N)
     rho: jnp.ndarray          # (B, 1)
     D: jnp.ndarray            # (B, 12N)
     E: jnp.ndarray            # (B, 32N)
     c: jnp.ndarray            # (B, 1)
+    kinv: jnp.ndarray         # (B, 12N, 12N)
+    kinv_rho: jnp.ndarray     # (B, 1)
 
 
 def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
@@ -247,27 +368,30 @@ def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
             eps_abs=1e-4, eps_rel=1e-4, max_iter=cfg.mpc_max_iter,
             adaptive_rho_interval=cfg.osqp_adaptive_rho_interval,
             adaptive_rho_tolerance=cfg.osqp_adaptive_rho_tolerance)
-    H, qlin, l, u, G, h = jax.vmap(
-        lambda x, f: build_qp(cfg, x.astype(dtype), f.astype(dtype))
+    H, qlin, l, u, Bl, h = jax.vmap(
+        lambda x, f: build_qp_compact(cfg, x.astype(dtype),
+                                      f.astype(dtype))
     )(xrefs, fsteps)
     A = jnp.asarray(cone_matrix(N, cfg.mu), dtype)
     cone = qp.ConeStructure(N, cfg.mu)
     kw = {}
     if state is not None:
         kw = dict(x0=state.f, y0=state.y, rho_init=state.rho,
-                  precond=(state.D, state.E, state.c))
+                  precond=(state.D, state.E, state.c),
+                  kinv_init=state.kinv, kinv_rho=state.kinv_rho)
         if schedule is None:
             schedule = [100]
     sol = qp_pallas.solve(H, qlin, A, l, u, settings, tile=tile,
                           schedule=schedule, cone=cone,
                           interpret=interpret, **kw)
-    with jax.default_matmul_precision("highest"):
-        dx = jnp.einsum("bij,bj->bi", G, sol.x) + h
+    dx = jax.vmap(lambda b, x, hh: recover_dx(cfg, b, x, hh))(Bl, sol.x,
+                                                              h)
     states = (dx.reshape(-1, N, 12).transpose(0, 2, 1)
               + xrefs[:, :, 1:N + 1])
     forces = sol.x.reshape(-1, N, 12).transpose(0, 2, 1)
     x_f = jnp.concatenate([states, forces], axis=1)          # (B, 24, N)
     D, E, c = sol.precond
     new_state = MPCBatchState(f=sol.x, y=sol.y, rho=sol.rho,
-                              D=D, E=E, c=c)
+                              D=D, E=E, c=c, kinv=sol.kinv,
+                              kinv_rho=sol.kinv_rho)
     return x_f, new_state, sol
