@@ -63,6 +63,13 @@ class DDPSettings(NamedTuple):
     reg_inc: float = 10.0        # on rejected iteration (crocoddyl regfactor)
     reg_dec: float = 0.1         # on accepted iteration
     nonlinear: bool = False      # linearModel flag (:20)
+    # MPC_crocoddyl_2 variant toggles (scripts/crocoddyl_class/
+    # MPC_crocoddyl_2.py:45-48,69-71): implicit integration uses the
+    # updated velocity in the position update (P+ = P + dt*V+), and
+    # relative_forces regularizes forces about the static gravity
+    # distribution mass*g/nb_contacts on stance feet instead of zero.
+    implicit_integration: bool = False
+    relative_forces: bool = False
 
     def to_ilqr(self) -> ilqr.ILQRSettings:
         return ilqr.ILQRSettings(
@@ -92,11 +99,14 @@ class DDPResult(NamedTuple):
     iters: jnp.ndarray
 
 
-def _dynamics(cfg: Config, x, u, feet_k, gait_k, yaw_lin):
+def _dynamics(cfg: Config, x, u, feet_k, gait_k, yaw_lin,
+              implicit: bool = False):
     """SRB discrete step (same physics as src/MPC.cpp:89,213-232).
 
     yaw_lin: yaw used for the inertia/lever rotation — reference value
-    for the linear model, replaced by x[5] in the nonlinear variant."""
+    for the linear model, replaced by x[5] in the nonlinear variant.
+    implicit: MPC_crocoddyl_2 semi-implicit Euler (P+ = P + dt*V+,
+    scripts/crocoddyl_class/MPC_crocoddyl_2.py:45-48)."""
     dt = cfg.dt_mpc
     dtype = x.dtype
     gI = jnp.asarray(np.asarray(cfg.gI).reshape(3, 3), dtype)
@@ -110,12 +120,24 @@ def _dynamics(cfg: Config, x, u, feet_k, gait_k, yaw_lin):
     acc = jnp.concatenate([f_tot / cfg.mass
                            - jnp.asarray([0., 0., cfg.gravity], dtype),
                            I_inv @ tau])
-    xn = x.at[0:6].add(dt * x[6:12])
-    xn = xn.at[6:12].add(dt * acc)
+    v_new = x[6:12] + dt * acc
+    xn = x.at[0:6].add(dt * (v_new if implicit else x[6:12]))
+    xn = xn.at[6:12].set(v_new)
     return xn
 
 
-def _stage_cost(cfg: Config, x, u, xref_k, feet_k, gait_k, terminal=False):
+def _u_ref(cfg: Config, gait_k, dtype):
+    """Static gravity distribution over stance feet: the relative-forces
+    regularization center (quadruped_walkgen relative_forces semantics,
+    scripts/crocoddyl_class/MPC_crocoddyl_2.py:69-71)."""
+    n_c = jnp.maximum(gait_k.sum(), 1.0)
+    fz = cfg.mass * cfg.gravity / n_c
+    return (jnp.asarray([0.0, 0.0, 1.0], dtype)[None, :]
+            * (fz * gait_k)[:, None]).reshape(12)
+
+
+def _stage_cost(cfg: Config, x, u, xref_k, feet_k, gait_k, terminal=False,
+                relative_forces: bool = False):
     """Running cost of the action model (weights above)."""
     dtype = x.dtype
     w = jnp.asarray(STATE_WEIGHTS, dtype)
@@ -136,7 +158,8 @@ def _stage_cost(cfg: Config, x, u, xref_k, feet_k, gait_k, terminal=False):
         return c
 
     u4 = u.reshape(4, 3)
-    c = c + 0.5 * FORCE_WEIGHT ** 2 * jnp.sum((u * _u_mask(gait_k)) ** 2)
+    u_reg = u - _u_ref(cfg, gait_k, dtype) if relative_forces else u
+    c = c + 0.5 * FORCE_WEIGHT ** 2 * jnp.sum((u_reg * _u_mask(gait_k)) ** 2)
 
     # friction cone penalty, inner approximation mu/sqrt(2)
     mu_i = cfg.mu / np.sqrt(2.0)
@@ -178,10 +201,12 @@ def solve_mpc_ddp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
 
     def step_k(x, u, k):
         yaw = x[5] if settings.nonlinear else xref_n[k, 5]
-        return _dynamics(cfg, x, u, feet[k], gait[k], yaw)
+        return _dynamics(cfg, x, u, feet[k], gait[k], yaw,
+                         implicit=settings.implicit_integration)
 
     def cost_k(x, u, k):
-        return _stage_cost(cfg, x, u, xref_n[k], feet[k], gait[k])
+        return _stage_cost(cfg, x, u, xref_n[k], feet[k], gait[k],
+                           relative_forces=settings.relative_forces)
 
     def cost_T(x):
         return _stage_cost(cfg, x, jnp.zeros(12, dtype), xref_n[-1],

@@ -80,6 +80,67 @@ def test_ddp_batched_matches_single():
                                    atol=1e-8)
 
 
+def test_ddp_v2_variant_equilibrium():
+    """MPC_crocoddyl_2 analog (scripts/crocoddyl_class/MPC_crocoddyl_2.py
+    :45-48,69-71): implicit integration + relative-force regularization.
+    With the regularizer centered at the static gravity distribution the
+    stance forces should sit essentially exactly at mg/4."""
+    settings = mpc_ddp.DDPSettings(implicit_integration=True,
+                                   relative_forces=True)
+    st = mpc_ddp.init_ddp_state(CFG, jnp.float64)
+    xref = jnp.asarray(_xref())
+    for i in range(30):
+        res = mpc_ddp.solve_mpc_ddp(CFG, xref,
+                                    jnp.asarray(_fsteps_fourstance()),
+                                    st, settings)
+        st = res.state
+        xref = xref.at[:, 0].set(res.x_f_applied[:12, 0])
+    f0 = np.asarray(res.x_f_applied)[12:, 0]
+    np.testing.assert_allclose(f0[2::3], MG4, rtol=0.01)
+    np.testing.assert_allclose(f0[0::3], 0.0, atol=0.05)
+    np.testing.assert_allclose(np.asarray(res.x_f_applied)[:12, 0],
+                               np.asarray(xref[:, 1]), atol=5e-3)
+
+
+def test_ddp_derivatives_match_finite_differences():
+    """crocoddyl_eval/test_2 analog (scripts/crocoddyl_eval/README.md:8-10):
+    the reference checks its hand-coded action-model derivatives against
+    ActionModelNumDiff; here the autodiff Jacobians/gradients the iLQR
+    sweep consumes are checked against central finite differences."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(scale=0.1, size=12) + np.eye(12)[2] * H0)
+    u = jnp.asarray(rng.uniform(1.0, 8.0, size=12))
+    feet = jnp.asarray(_fsteps_fourstance()[0], jnp.float64)
+    gait = jnp.ones(4, jnp.float64)
+    xref_k = jnp.asarray(_xref(), jnp.float64)[:, 1]
+
+    for implicit in (False, True):
+        def f(xu):
+            return mpc_ddp._dynamics(CFG, xu[:12], xu[12:], feet, gait,
+                                     xu[5], implicit=implicit)
+        xu = jnp.concatenate([x, u])
+        J = np.asarray(jax.jacobian(f)(xu))
+        eps = 1e-6
+        J_fd = np.zeros_like(J)
+        for i in range(24):
+            e = np.zeros(24); e[i] = eps
+            J_fd[:, i] = (np.asarray(f(xu + e)) - np.asarray(f(xu - e))) \
+                / (2 * eps)
+        np.testing.assert_allclose(J, J_fd, atol=1e-6)
+
+    for rel in (False, True):
+        def c(xu):
+            return mpc_ddp._stage_cost(CFG, xu[:12], xu[12:], xref_k,
+                                       feet, gait, relative_forces=rel)
+        xu = jnp.concatenate([x, u])
+        g = np.asarray(jax.grad(c)(xu))
+        eps = 1e-6
+        g_fd = np.array([(float(c(xu + eps * jnp.eye(24)[i]))
+                          - float(c(xu - eps * jnp.eye(24)[i])))
+                         / (2 * eps) for i in range(24)])
+        np.testing.assert_allclose(g, g_fd, atol=1e-5)
+
+
 def test_ddp_backend_rollout_stands():
     """Full closed-loop rollout with type_MPC=False (DDP backend)."""
     from qrw_tpu.sim.rollout import make_rollout, rollout
