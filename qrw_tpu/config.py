@@ -66,7 +66,13 @@ class Config:
         -8.00101e-7, 5.106100e-2, 1.245813e-4,
         1.865287e-5, 1.245813e-4, 6.939757e-2,
     )
-    h_ref: float = 0.2027682           # reference base height [m] (src/MPC.cpp:27-28)
+    # Reference base height [m]. The reference sets h_ref = h_init, the
+    # standing height of the robot model in q_init (scripts/Controller.py:
+    # 116, scripts/utils_mpc.py:114-150); for the qrw_tpu Solo-12 model
+    # that is 2*0.16*cos(0.7) (models/solo12.py H_INIT), keeping the
+    # initial state and the regulation target consistent so the startup
+    # security check (scripts/main_solo12_control.py:190-195) is clean.
+    h_ref: float = 0.24474949993103629
     offset_com_z: float = -0.03        # CoM vertical offset from base (src/MPC.cpp:21)
     fz_max: float = 25.0               # max vertical contact force [N] (src/MPC.cpp:295-297)
     gravity: float = 9.81
