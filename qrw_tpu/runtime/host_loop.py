@@ -43,8 +43,15 @@ class HostLoopResult(NamedTuple):
 def run_host_loop(cfg: Optional[Config] = None, n_ticks: int = 500,
                   device: Optional[SimDevice] = None, gait: str = "trot",
                   realtime: bool = False, shutdown: bool = False,
-                  dtype=jnp.float32) -> HostLoopResult:
-    """Run the controller against a host-driven device for n_ticks."""
+                  clone: Optional[SimDevice] = None,
+                  gamepad=None, dtype=jnp.float32) -> HostLoopResult:
+    """Run the controller against a host-driven device for n_ticks.
+
+    clone: optional second device receiving identical commands (the
+    reference's -c clone-robot mirroring,
+    scripts/main_solo12_control.py:66-88,140-152).
+    gamepad: optional runtime.gamepad.GamepadReader; its freshest frame
+    drives the velocity command via core.joystick.gamepad_update."""
     cfg = cfg if cfg is not None else Config()
     if device is None:
         device = SimDevice(cfg, dtype=dtype)
@@ -52,7 +59,16 @@ def run_host_loop(cfg: Optional[Config] = None, n_ticks: int = 500,
 
     ctl = make_controller(cfg)
     state = init_state(ctl, dtype, gait=gait)
-    tick = jax.jit(lambda s, d, k: compute(ctl, s, d, k))
+    tick = jax.jit(lambda s, d, k, v, jc: compute(ctl, s, d, k,
+                                                  v_ref6=v,
+                                                  joystick_code=jc))
+    gp_state = None
+    gp_update = None
+    if gamepad is not None:
+        from qrw_tpu.core.joystick import gamepad_update, init_gamepad_state
+        gp_state = init_gamepad_state(dtype)
+        gp_update = jax.jit(
+            lambda s, ax, bt: gamepad_update(cfg, s, ax, bt))
 
     q_log = np.zeros((n_ticks, 19))
     tau_log = np.zeros((n_ticks, 12))
@@ -63,8 +79,21 @@ def run_host_loop(cfg: Optional[Config] = None, n_ticks: int = 500,
             timeout = True
             break
         device.UpdateMeasurment()
+        if gamepad is not None:
+            frame = gamepad.read()
+            # frame layout: runtime.gamepad.FRAME_SIZE — axes then
+            # [start, back, L1, 4 gait buttons]
+            gp_state = gp_update(gp_state,
+                                 jnp.asarray(frame[0:4], dtype),
+                                 jnp.asarray(frame[7:11], dtype))
+            v_ref6 = gp_state.v_ref
+            j_code = gp_state.gait_code
+        else:
+            from qrw_tpu.core.joystick import v_ref_profile
+            v_ref6 = v_ref_profile(jnp.asarray(k), cfg.velID, dtype)
+            j_code = jnp.asarray(0, jnp.int32)
         state, result = tick(state, device.device_data,
-                             jnp.asarray(k, jnp.int32))
+                             jnp.asarray(k, jnp.int32), v_ref6, j_code)
         result = jax.device_get(result)
 
         # startup security check (scripts/main_solo12_control.py:190-195)
@@ -76,11 +105,12 @@ def run_host_loop(cfg: Optional[Config] = None, n_ticks: int = 500,
             error = True
             break
 
-        device.SetDesiredJointPDgains(result.P, result.D)
-        device.SetDesiredJointPosition(result.q_des)
-        device.SetDesiredJointVelocity(result.v_des)
-        device.SetDesiredJointTorque(result.tau_ff)
-        device.SendCommand(WaitEndOfCycle=realtime)
+        for dev in (device,) if clone is None else (device, clone):
+            dev.SetDesiredJointPDgains(result.P, result.D)
+            dev.SetDesiredJointPosition(result.q_des)
+            dev.SetDesiredJointVelocity(result.v_des)
+            dev.SetDesiredJointTorque(result.tau_ff)
+            dev.SendCommand(WaitEndOfCycle=realtime and dev is device)
         q_log[k] = np.asarray(jax.device_get(device.sim_state.q))
         tau_log[k] = np.asarray(result.tau_ff)
 
