@@ -44,6 +44,7 @@ def score(logs, cfg: Optional[Config] = None, skip: int = 50
     drift of the estimate relative to ground truth [m]."""
     cfg = cfg if cfg is not None else Config()
     d = _as_dict(logs)
+    skip = min(skip, d["base_pos"].shape[0] // 2)  # short logs: keep data
     sl = slice(skip, None)
 
     z_sim = d["base_pos"][sl, 2]

@@ -64,7 +64,9 @@ def run_sweep(cfg: Optional[Config] = None,
     def one(c, vs):
         _, logs = rollout(ctl, c, n_ticks, v_ref_schedule=vs)
         err = logs.error.any()
-        sl = slice(max(n_ticks - 500, ramp_ticks), None)
+        # steady-state window: after the ramp, but never empty
+        start = min(max(n_ticks - 500, ramp_ticks), n_ticks // 2)
+        sl = slice(start, None)
         # measured forward velocity in base frame vs command
         vx_err = jnp.mean(jnp.abs(logs.base_vel[sl, 0]
                                   - vs[sl, 0]))

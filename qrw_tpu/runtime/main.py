@@ -52,7 +52,54 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--plot", nargs="?", const="qrw_run", default=None,
                    metavar="PREFIX", help="save plotAll figures as PNGs")
     p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--host-loop", action="store_true",
+                   help="drive the masterboard-style device facade from "
+                        "the host instead of the in-graph rollout")
+    p.add_argument("--clone", action="store_true",
+                   help="mirror commands to a second simulated robot "
+                        "(host-loop mode; reference -c option)")
+    p.add_argument("--gamepad", action="store_true",
+                   help="read a physical gamepad (host-loop mode; "
+                        "requires the `inputs` package)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace the host loop to 500 Hz real time")
+    p.add_argument("--sweep", action="store_true",
+                   help="run the batched velocity-envelope sweep "
+                        "(crocoddyl_eval/test_4 analog) and exit")
+    p.add_argument("--estimator-demo", action="store_true",
+                   help="estimator-only evaluation run "
+                        "(main_solo12_demo_estimator analog) and exit")
     return p
+
+
+def _run_host_loop(args, cfg, dtype):
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+    from qrw_tpu.runtime.host_loop import run_host_loop
+    from qrw_tpu.sim.device import SimDevice
+
+    clone = None
+    if args.clone:
+        clone = SimDevice(cfg, dtype=dtype)
+        clone.Init(q_init=cfg.q_init)
+    gamepad = None
+    if args.gamepad:
+        from qrw_tpu.runtime.gamepad import GamepadReader
+        gamepad = GamepadReader()
+    try:
+        res = run_host_loop(cfg, n_ticks=cfg.N_SIMULATION, clone=clone,
+                            gamepad=gamepad, realtime=args.realtime,
+                            shutdown=True, gait=args.gait, dtype=dtype)
+    finally:
+        if gamepad is not None:
+            gamepad.stop()
+    print(f"host loop: {res.n_ticks} ticks, startup_abort="
+          f"{res.startup_abort}, error={res.error}, timeout={res.timeout}")
+    if res.n_ticks:
+        bp = res.q_log[-1]
+        print(f"final pos [{bp[0]:.3f} {bp[1]:.3f} {bp[2]:.3f}], "
+              f"max |tau_ff| {np.abs(res.tau_log).max():.2f}")
+    return 0 if not (res.startup_abort or res.error or res.timeout) else 1
 
 
 def main(argv=None) -> int:
@@ -85,6 +132,29 @@ def main(argv=None) -> int:
     cfg = load_config(args.config, **overrides)
     dtype = jnp.float64 if args.f64 else jnp.float32
     n_ticks = cfg.N_SIMULATION
+
+    if args.host_loop:
+        return _run_host_loop(args, cfg, dtype)
+    if args.sweep:
+        from qrw_tpu.eval.speed_sweep import plot_envelope, run_sweep
+        mesh = None
+        if args.mesh:
+            from qrw_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        res = run_sweep(cfg, n_ticks=n_ticks, dtype=dtype, mesh=mesh)
+        print(f"sweep: {int(res.success.sum())}/{res.success.size} cells "
+              f"succeeded; max vx err {res.vx_err.max():.3f} m/s")
+        if args.plot is not None:
+            plot_envelope(res, show=False,
+                          save_path=args.plot + "_envelope.png")
+            print(f"envelope saved as {args.plot}_envelope.png")
+        return 0
+    if args.estimator_demo:
+        from qrw_tpu.eval.estimator_eval import run_demo
+        m = run_demo(cfg, n_ticks=n_ticks, kf=args.kf, dtype=dtype)
+        print("estimator metrics:",
+              {k: round(v, 5) for k, v in m.items()})
+        return 0
 
     from qrw_tpu.sim.faults import default_perturbations
     from qrw_tpu.sim.terrain import make_terrain

@@ -44,3 +44,27 @@ def test_cli_main(tmp_path, monkeypatch):
                "--save", str(tmp_path / "cli.npz")])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "cli.npz"))
+
+
+def test_cli_host_loop_and_demo_modes(tmp_path, monkeypatch):
+    from qrw_tpu.runtime.main import main
+    monkeypatch.chdir(tmp_path)
+    assert main(["--cpu", "--f64", "--ticks", "30", "--host-loop"]) == 0
+    assert main(["--cpu", "--f64", "--ticks", "30",
+                 "--estimator-demo"]) == 0
+
+
+def test_cli_analyze(tmp_path, monkeypatch):
+    """Offline analysis CLI over a saved run (analyse_simu /
+    plot_IMU_mocap_result entry-point parity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from qrw_tpu.eval.analyze import main as analyze_main
+    from qrw_tpu.runtime.main import main
+    monkeypatch.chdir(tmp_path)
+    npz = str(tmp_path / "run.npz")
+    assert main(["--cpu", "--f64", "--ticks", "40", "--save", npz]) == 0
+    rc = analyze_main([npz, "--plot", str(tmp_path / "out"),
+                       "--estimator", "--forces", "20"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "out") + "_forces.png")
