@@ -53,6 +53,11 @@ class Config:
     # consumes the plan computed one MPC period earlier, deterministically
     # reproduced in-graph via a double-buffered plan + staleness roll.
     mpc_async: bool = False
+    # 500 Hz MPC (crocoddyl_eval/test_5: DDP re-solved at the WBC rate
+    # with the first node shrunk to the time remaining before the next
+    # gait boundary — MPC_crocoddyl_2 dt_tsid semantics). DDP backend
+    # only (type_MPC=False); incompatible with mpc_async/mpc_planner.
+    mpc_every_tick: bool = False
 
     # ------------------------------------------------------------------
     # Physical constants hard-coded by the reference, centralized here

@@ -250,6 +250,14 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
         elif cfg.type_MPC:
             res = mpc_mod.solve_mpc(cfg, xref, fsteps, state.mpc,
                                     ctl.mpc_settings)
+        elif cfg.mpc_every_tick:
+            # 500 Hz MPC (crocoddyl_eval/test_5): first node covers the
+            # time remaining to the next gait boundary; the warm start
+            # is only shifted on the boundary itself.
+            dt_first = (k_mpc - (k % k_mpc)).astype(dtype) * cfg.dt_wbc
+            res = mpc_ddp.solve_mpc_ddp(cfg, xref, fsteps, state.mpc,
+                                        dt_first=dt_first,
+                                        shift_warm=(k % k_mpc) == 0)
         else:
             res = mpc_ddp.solve_mpc_ddp(cfg, xref, fsteps, state.mpc)
         if cfg.mpc_async:
@@ -264,8 +272,10 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
         return (state.x_f_mpc, state.x_f_next, state.mpc,
                 state.planner_target)
 
+    solve_now = (jnp.asarray(True) if cfg.mpc_every_tick
+                 else (k % k_mpc) == 0)
     x_f_mpc, x_f_next, mpc_state, planner_target = lax.cond(
-        (k % k_mpc) == 0, run_mpc, keep_mpc, None)
+        solve_now, run_mpc, keep_mpc, None)
 
     # ---- WBC target assembly (scripts/Controller.py:258-269) -------------
     x_f_wbc = x_f_mpc[:, 0]

@@ -100,14 +100,18 @@ class DDPResult(NamedTuple):
 
 
 def _dynamics(cfg: Config, x, u, feet_k, gait_k, yaw_lin,
-              implicit: bool = False):
+              implicit: bool = False, dt=None):
     """SRB discrete step (same physics as src/MPC.cpp:89,213-232).
 
     yaw_lin: yaw used for the inertia/lever rotation — reference value
     for the linear model, replaced by x[5] in the nonlinear variant.
     implicit: MPC_crocoddyl_2 semi-implicit Euler (P+ = P + dt*V+,
-    scripts/crocoddyl_class/MPC_crocoddyl_2.py:45-48)."""
-    dt = cfg.dt_mpc
+    scripts/crocoddyl_class/MPC_crocoddyl_2.py:45-48).
+    dt: node duration (defaults to cfg.dt_mpc; the 500 Hz MPC mode
+    passes a shrunken first-node duration, the dt_tsid first-node
+    semantics of scripts/crocoddyl_eval/test_5)."""
+    if dt is None:
+        dt = cfg.dt_mpc
     dtype = x.dtype
     gI = jnp.asarray(np.asarray(cfg.gI).reshape(3, 3), dtype)
     R = rot_z(yaw_lin)
@@ -179,9 +183,15 @@ def _u_mask(gait_k):
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def solve_mpc_ddp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
                   state: Optional[DDPState] = None,
-                  settings: DDPSettings = DDPSettings()) -> DDPResult:
+                  settings: DDPSettings = DDPSettings(),
+                  dt_first=None, shift_warm=None) -> DDPResult:
     """One DDP MPC solve (MPC_crocoddyl.solve, :184-214). Batch with vmap
-    over (xref, fsteps, state)."""
+    over (xref, fsteps, state).
+
+    dt_first: optional traced duration of the first node — the 500 Hz
+    re-solve mode shrinks it to the time remaining until the next gait
+    boundary (MPC_crocoddyl_2's dt_tsid first node,
+    scripts/crocoddyl_eval/test_5/main.py:85)."""
     N = cfg.n_steps
     dtype = xref.dtype
     if state is None:
@@ -197,12 +207,20 @@ def solve_mpc_ddp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
     # large cold-start guess at one node makes the penalty-blind local
     # quadratic model wildly optimistic and stalls the line search.
     us0 = jnp.concatenate([state.us[1:], state.us[-1:]])
+    if shift_warm is not None:
+        # 500 Hz re-solve mode: only shift the warm start on gait-roll
+        # boundaries; intermediate re-solves refine the same plan.
+        us0 = jnp.where(jnp.asarray(shift_warm), us0, state.us)
     us0 = us0 * jax.vmap(_u_mask)(gait)
 
     def step_k(x, u, k):
         yaw = x[5] if settings.nonlinear else xref_n[k, 5]
+        dt = None
+        if dt_first is not None:
+            dt = jnp.where(k == 0, jnp.asarray(dt_first, dtype),
+                           jnp.asarray(cfg.dt_mpc, dtype))
         return _dynamics(cfg, x, u, feet[k], gait[k], yaw,
-                         implicit=settings.implicit_integration)
+                         implicit=settings.implicit_integration, dt=dt)
 
     def cost_k(x, u, k):
         return _stage_cost(cfg, x, u, xref_n[k], feet[k], gait[k],
