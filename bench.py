@@ -144,6 +144,60 @@ def main():
           file=sys.stderr)
     assert conv > 0.95, f"warm convergence rate {conv:.3f} too low"
 
+    # ---- multi-device scaling (BASELINE: >=80% efficiency at 2 hosts).
+    # Scenario data parallelism: the identical warm-cycle program runs
+    # per shard under shard_map (no collectives in the loop), so measured
+    # efficiency is pure launch/ICI/DCN overhead. Skipped on one device
+    # (the tunnel exposes a single chip); the driver's dryrun_multichip
+    # validates the sharded program itself.
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        import functools
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from qrw_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        Bs = batch * n_dev
+        xr_s, fs_s = build_batch(cfg, Bs, rng)
+        sharding = NamedSharding(mesh, P("dp"))
+        xr_s = jax.device_put(jnp.asarray(xr_s), sharding)
+        fs_s = jax.device_put(jnp.asarray(fs_s), sharding)
+
+        def cycle_body(x, f):
+            # cold solve then one warm re-solve, like the 1-device loop
+            _, st_, _ = mpc_mod.solve_mpc_batch_pallas(
+                cfg, x, f, settings=settings, tile=tile,
+                interpret=interpret)
+            _, _, sol_ = mpc_mod.solve_mpc_batch_pallas(
+                cfg, x, f, state=st_, settings=settings,
+                schedule=[args.warm_iters], tile=tile,
+                interpret=interpret)
+            return sol_.iters
+
+        shard_cycle = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P("dp"),
+            out_specs=P("dp"), check_vma=False)(cycle_body)
+        run_s = jax.jit(shard_cycle)
+        run_1 = jax.jit(cycle_body)
+        it = run_s(xr_s, fs_s)
+        float(jnp.sum(it).astype(jnp.float32))
+        it = run_1(xrefs, fsteps)
+        float(jnp.sum(it).astype(jnp.float32))
+        n_rep = max(2, reps // 2)
+
+        def clock(fn, x, f):
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                float(jnp.sum(fn(x, f)).astype(jnp.float32))
+            return (time.perf_counter() - t0) / n_rep
+
+        dt_1 = clock(run_1, xrefs, fsteps)
+        dt_s = clock(run_s, xr_s, fs_s)
+        eff = (Bs / dt_s) / (n_dev * batch / dt_1)
+        print(f"scaling: {n_dev} devices, {Bs / dt_s:.0f} cycles/s "
+              f"aggregate vs {batch / dt_1:.0f} on one device -> "
+              f"efficiency {eff * 100:.0f}%", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

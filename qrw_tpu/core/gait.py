@@ -84,9 +84,17 @@ def make_gait(cfg: Config, kind: str = "trot") -> GaitState:
     des = _pattern(cfg, kind)
     n_rows = int(np.sum(np.any(des != 0, axis=1)))
     cur = np.zeros_like(des)
+    # The controller rolls the gait at k=0 (updateGait with k%k_mpc==0,
+    # src/Gait.cpp:187-195 — the reference does the same), which consumes
+    # one row before anything is planned. Initialize one row EARLIER in
+    # the cycle so the post-roll window starts exactly at a phase
+    # boundary: the first swing then starts at t0=0 instead of 25% into
+    # the phase (the reference's startup jolt — its first swing-foot
+    # reference jumps off the ground mid-profile, which destabilizes
+    # short-phase gaits like the 4-phase walk).
     for j in range(n_steps):
-        cur[j] = des[j % n_rows]
-    wrap = n_steps % n_rows
+        cur[j] = des[(j - 1) % n_rows]
+    wrap = (n_steps - 1) % n_rows
     des[:n_rows] = np.roll(des[:n_rows], -wrap, axis=0)
     return GaitState(
         past=jnp.zeros((cfg.N_gait, 4)),

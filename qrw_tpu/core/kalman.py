@@ -86,7 +86,7 @@ class KF18State(NamedTuple):
 
 def kf18_init(h_init: float, dtype=jnp.float32) -> KF18State:
     """X starts at [0, 0, h_init] (scripts/Estimator.py:285)."""
-    X = jnp.zeros(18, dtype).at[2].set(h_init)
+    X = jnp.zeros(18, dtype).at[2].set(jnp.asarray(h_init, dtype))
     return KF18State(X=X, P=jnp.eye(18, dtype=dtype))
 
 

@@ -78,3 +78,23 @@ def test_async_mpc_rollout_stands():
     bp = np.asarray(logs.base_pos)
     assert abs(bp[-1, 2] - cfg.h_ref) < 0.05, bp[-1]
     assert not bool(np.asarray(logs.error).any())
+
+
+def test_all_gaits_stand_at_default_timing():
+    """Every gait the reference offers (src/Gait.cpp:38-108) survives a
+    closed-loop run at the default T_gait=0.32 — including the 4-phase
+    walk, which requires the phase-aligned gait init (first swing starts
+    at t0=0 after the k=0 roll; the reference's own init starts the
+    first swing 25% into its profile)."""
+    from qrw_tpu.config import Config
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+    n = 700
+    for gait in ["walk", "pacing", "bounding", "static"]:
+        cfg = Config()
+        ctl, carry = make_rollout(cfg, dtype=jnp.float64, gait=gait)
+        run = jax.jit(lambda c: rollout(
+            ctl, c, n, v_ref_schedule=jnp.zeros((n, 6), jnp.float64)))
+        _, logs = run(carry)
+        bp = np.asarray(logs.base_pos)
+        assert abs(bp[-1, 2] - cfg.h_ref) < 0.05, (gait, bp[-1])
+        assert not bool(np.asarray(logs.error).any()), gait
