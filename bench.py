@@ -144,6 +144,30 @@ def main():
           file=sys.stderr)
     assert conv > 0.95, f"warm convergence rate {conv:.3f} too low"
 
+    # ---- p99 control-loop latency vs the 2 ms / 500 Hz budget
+    # (BASELINE.md). One full controller tick (estimator -> planners ->
+    # MPC backend mux -> WBC) jitted as a single program; each call ends
+    # with a host read, so through the remote-TPU tunnel this includes
+    # RTT and is an upper bound on on-host latency.
+    try:
+        from __graft_entry__ import entry
+        fn, eargs = entry()
+        tick = jax.jit(fn)
+        out = tick(*eargs)
+        jax.block_until_ready(out)
+        lat = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            out = tick(*eargs)
+            float(jnp.asarray(out.tau_ff[0], jnp.float32))
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        p50, p99 = lat_ms[49], lat_ms[98]
+        print(f"controller tick latency: p50 {p50:.3f} ms, p99 {p99:.3f} ms "
+              f"(budget 2 ms; includes device tunnel RTT)", file=sys.stderr)
+    except Exception as e:  # latency report is informational only
+        print(f"latency report skipped: {e!r}", file=sys.stderr)
+
     # ---- multi-device scaling (BASELINE: >=80% efficiency at 2 hosts).
     # Scenario data parallelism: the identical warm-cycle program runs
     # per shard under shard_map (no collectives in the loop), so measured

@@ -24,7 +24,18 @@ SHOULDERS = np.array([[0.1946, 0.1946, -0.1946, -0.1946],
 # ----------------------------------------------------------------------
 
 def test_trot_structure():
+    # make_gait initializes one row BEFORE a phase boundary so that the k=0
+    # roll (Controller rolls at every k % k_mpc == 0, including k=0) lands
+    # exactly on a boundary and the first swing starts at t0=0.
     gs = G.make_gait(CFG, "trot")
+    cur = np.asarray(gs.current)
+    assert np.all(cur[0] == [0.0, 1.0, 1.0, 0.0])
+    assert np.all(cur[1:9] == [1.0, 0.0, 0.0, 1.0])
+    assert np.all(cur[9:16] == [0.0, 1.0, 1.0, 0.0])
+    assert np.all(cur[16:] == 0.0)
+    # After the k=0 roll the window starts at the canonical trot boundary
+    # (src/Gait.cpp:56-68 sequence order).
+    gs = G.roll_gait(gs)
     cur = np.asarray(gs.current)
     assert np.all(cur[:8] == [1.0, 0.0, 0.0, 1.0])
     assert np.all(cur[8:16] == [0.0, 1.0, 1.0, 0.0])
