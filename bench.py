@@ -66,8 +66,10 @@ def main():
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    import os
     jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
@@ -161,8 +163,8 @@ def main():
             out = tick(*eargs)
             float(jnp.asarray(out.tau_ff[0], jnp.float32))
             lat.append(time.perf_counter() - t0)
-        lat_ms = np.sort(np.asarray(lat)) * 1e3
-        p50, p99 = lat_ms[49], lat_ms[98]
+        lat_ms = np.asarray(lat) * 1e3
+        p50, p99 = np.percentile(lat_ms, [50, 99])
         print(f"controller tick latency: p50 {p50:.3f} ms, p99 {p99:.3f} ms "
               f"(budget 2 ms; includes device tunnel RTT)", file=sys.stderr)
     except Exception as e:  # latency report is informational only

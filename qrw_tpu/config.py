@@ -132,8 +132,10 @@ class Config:
     # Estimator constants (scripts/Estimator.py:245-324)
     fc_vel: float = 50.0               # velocity low-pass cut frequency [Hz]
     fc_secu: float = 6.0               # security-filter cut frequency [Hz]
-    fc_cf_vel: float = 3.0             # complementary filter (velocity) [Hz]
-    fc_cf_pos: float = 500.0           # complementary filter (position) [Hz]
+    # NOTE: the reference constructs its ComplementaryFilters with fc 3/500 Hz
+    # (scripts/Estimator.py:266-267) but always overrides alpha at compute
+    # time (adaptive trust / alpha_pos), so those cutoffs are dead there too
+    # and are intentionally not part of this config.
     imu_offset: Tuple[float, float, float] = (0.1163, 0.0, 0.02)
     foot_radius: float = 0.025         # rolling correction (Estimator.py:434)
     contact_security_ticks: int = 16   # FK trust margin after contact switch

@@ -111,7 +111,11 @@ def build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
         return _build_qp(cfg, xref, fsteps)
 
 
-def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
+def _assemble_common(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
+    """Shared assembly of both QP builders: per-step input blocks Bl,
+    free-response blocks hblk, box bounds (l, u), and the lower-triangular
+    index helpers (mask, p). Mirrors the B/NK/bounds construction of
+    src/MPC.cpp:213-232,293-297,424-461."""
     N = cfg.n_steps
     dt = cfg.dt_mpc
     dtype = xref.dtype
@@ -140,17 +144,12 @@ def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
     Bl = jnp.concatenate([jnp.broadcast_to(frc[None], (N, 3, 4, 3)), tor],
                          axis=1).reshape(N, 6, 12)           # (N, 6, 12)
 
-    # ---- G: dx = G f + h (closed-form powers of A) -----------------------
-    # row block k holds dx_{k+1} = sum_{j<=k} A^(k-j) (B_j f_j + r_j)
+    # ---- lower-triangular helpers (closed-form powers of A) --------------
     kk = jnp.arange(N)
     p = kk[:, None] - kk[None, :]                            # k-j
     mask = (p >= 0).astype(dtype)                            # j <= k
-    top = (mask * p.astype(dtype) * dt)[:, :, None, None] * Bl[None]
-    bot = mask[:, :, None, None] * jnp.broadcast_to(Bl[None], (N, N, 6, 12))
-    Gblk = jnp.concatenate([top, bot], axis=2)               # (N, N, 12, 12)
-    G = Gblk.transpose(0, 2, 1, 3).reshape(12 * N, 12 * N)
 
-    # ---- h: free response --------------------------------------------------
+    # ---- h: free response -------------------------------------------------
     gvec = jnp.zeros(12, dtype).at[8].set(-cfg.gravity * dt)
     xj = xref[:, :N].T                                       # (N, 12)
     Axj = xj.at[:, 0:6].add(dt * xj[:, 6:12])                # A xref_j
@@ -158,13 +157,6 @@ def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
     rE = jnp.zeros_like(r).at[:, 0:6].set(r[:, 6:12])        # E r_j
     hblk = (mask[:, :, None] * (r[None] + (p.astype(dtype) * dt)[:, :, None]
                                 * rE[None])).sum(axis=1)     # (N, 12)
-    h = hblk.reshape(12 * N)
-
-    # ---- cost ------------------------------------------------------------
-    W = jnp.asarray(_state_weights(cfg), dtype)              # (12N,)
-    GW = G * W[:, None]
-    H = G.T @ GW + cfg.w_force * jnp.eye(12 * N, dtype=dtype)
-    qlin = GW.T @ h
 
     # ---- bounds ----------------------------------------------------------
     inf = jnp.asarray(np.inf, dtype)
@@ -176,6 +168,28 @@ def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
     u_b = jnp.where(contact > 0, inf, 0.0)
     l = jnp.concatenate([l_f, l_b])
     u = jnp.concatenate([u_f, u_b])
+    return Bl, hblk, l, u, mask, p
+
+
+def _build_qp(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
+    N = cfg.n_steps
+    dt = cfg.dt_mpc
+    dtype = xref.dtype
+    Bl, hblk, l, u, mask, p = _assemble_common(cfg, xref, fsteps)
+
+    # ---- G: dx = G f + h -------------------------------------------------
+    # row block k holds dx_{k+1} = sum_{j<=k} A^(k-j) (B_j f_j + r_j)
+    top = (mask * p.astype(dtype) * dt)[:, :, None, None] * Bl[None]
+    bot = mask[:, :, None, None] * jnp.broadcast_to(Bl[None], (N, N, 6, 12))
+    Gblk = jnp.concatenate([top, bot], axis=2)               # (N, N, 12, 12)
+    G = Gblk.transpose(0, 2, 1, 3).reshape(12 * N, 12 * N)
+    h = hblk.reshape(12 * N)
+
+    # ---- cost ------------------------------------------------------------
+    W = jnp.asarray(_state_weights(cfg), dtype)              # (12N,)
+    GW = G * W[:, None]
+    H = G.T @ GW + cfg.w_force * jnp.eye(12 * N, dtype=dtype)
+    qlin = GW.T @ h
     return H, qlin, l, u, G, h
 
 
@@ -209,42 +223,7 @@ def build_qp_compact(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
         N = cfg.n_steps
         dt = cfg.dt_mpc
         dtype = xref.dtype
-        # reuse the existing assembly for Bl / h / bounds via _build_qp's
-        # internals, recomputed here without forming G
-        gait = gait_from_fsteps(fsteps, N)
-        gI = jnp.asarray(np.asarray(cfg.gI).reshape(3, 3), dtype)
-        yaw = xref[5, :N]
-        c, s = jnp.cos(yaw), jnp.sin(yaw)
-        z = jnp.zeros_like(c)
-        o = jnp.ones_like(c)
-        Rz = jnp.stack([jnp.stack([c, -s, z], -1),
-                        jnp.stack([s, c, z], -1),
-                        jnp.stack([z, z, o], -1)], -2)
-        RgIR = jnp.einsum("kji,jl,klm->kim", Rz, gI, Rz)
-        I_inv = jnp.linalg.inv(RgIR)
-        feet = fsteps[:N].reshape(N, 4, 3)
-        com = xref[0:3, :N].T + jnp.asarray(
-            [0.0, 0.0, cfg.offset_com_z], dtype)
-        lever = feet - com[:, None, :]
-        tor = dt * jnp.einsum("kab,kibc->kaic", I_inv, skew(lever))
-        frc = (dt / cfg.mass) * jnp.tile(
-            jnp.eye(3, dtype=dtype)[:, None, :], (1, 4, 1))
-        Bl = jnp.concatenate(
-            [jnp.broadcast_to(frc[None], (N, 3, 4, 3)), tor],
-            axis=1).reshape(N, 6, 12)                     # (N, 6, 12)
-
-        # free response h (identical to _build_qp)
-        kk = jnp.arange(N)
-        p = kk[:, None] - kk[None, :]
-        mask = (p >= 0).astype(dtype)
-        gvec = jnp.zeros(12, dtype).at[8].set(-cfg.gravity * dt)
-        xj = xref[:, :N].T
-        Axj = xj.at[:, 0:6].add(dt * xj[:, 6:12])
-        r = Axj + gvec[None, :] - xref[:, 1:N + 1].T
-        rE = jnp.zeros_like(r).at[:, 0:6].set(r[:, 6:12])
-        hblk = (mask[:, :, None]
-                * (r[None] + (p.astype(dtype) * dt)[:, :, None]
-                   * rE[None])).sum(axis=1)               # (N, 12)
+        Bl, hblk, l, u, mask, p = _assemble_common(cfg, xref, fsteps)
 
         # ---- H via the closed form -----------------------------------
         w = jnp.asarray(cfg.w_state, dtype)
@@ -268,17 +247,6 @@ def build_qp_compact(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray):
         T2 = mask.T @ hbot_w
         qlin = jnp.einsum("jai,ja->ji", Bl,
                           dt * T1 + T2).reshape(12 * N)
-
-        # ---- bounds (identical to _build_qp) --------------------------
-        inf = jnp.asarray(np.inf, dtype)
-        l_f = jnp.tile(jnp.asarray([-inf, -inf, -inf, -inf, -cfg.fz_max],
-                                   dtype), 4 * N)
-        u_f = jnp.zeros(20 * N, dtype)
-        contact = jnp.repeat(gait.reshape(-1), 3)
-        l_b = jnp.where(contact > 0, -inf, 0.0)
-        u_b = jnp.where(contact > 0, inf, 0.0)
-        l = jnp.concatenate([l_f, l_b])
-        u = jnp.concatenate([u_f, u_b])
     return H, qlin, l, u, Bl, hblk.reshape(12 * N)
 
 

@@ -129,10 +129,7 @@ def ruiz_equilibrate(P, q, A, iters: int):
         # scaled |P| and |A| column/row norms without materializing them
         colP = jnp.max(absP * D[..., None, :] * D[..., :, None] * c[..., None],
                        axis=-2)                                  # (..., n)
-        if A.ndim == 2:
-            sA = absA * D[..., None, :] * E[..., :, None]
-        else:
-            sA = absA * D[..., None, :] * E[..., :, None]
+        sA = absA * D[..., None, :] * E[..., :, None]
         colA = jnp.max(sA, axis=-2)                              # (..., n)
         rowA = jnp.max(sA, axis=-1)                              # (..., m)
         col = jnp.maximum(colP, colA)
@@ -283,11 +280,13 @@ def _solve(P, q, A, l, u, settings, x0, y0, cone=None) -> QPSolution:
         y = jnp.broadcast_to(y0, batch + (m,)) * c / E
     z = Amul(x)
 
+    # Amul/Atmul already apply the D/E scaling, so the ADMM below runs
+    # fully in the equilibrated space.
     def admm_step(st: _LoopState) -> _LoopState:
         rv = rho_vec_for_bounds(ls, us, st.rho)
-        b = s.sigma * st.x - qs + Atmul_scaled(rv * st.z - st.y)
+        b = s.sigma * st.x - qs + Atmul(rv * st.z - st.y)
         xt = jnp.einsum("...ab,...b->...a", st.Kinv, b)
-        zt = Amul_scaled(xt)
+        zt = Amul(xt)
         xn = s.alpha * xt + (1 - s.alpha) * st.x
         z_rel = s.alpha * zt + (1 - s.alpha) * st.z
         zn = jnp.clip(z_rel + st.y / rv, ls, us)
@@ -297,18 +296,11 @@ def _solve(P, q, A, l, u, settings, x0, y0, cone=None) -> QPSolution:
                            z=jnp.where(keep, st.z, zn),
                            y=jnp.where(keep, st.y, yn))
 
-    # scaled-space operators (the ADMM runs fully in the scaled space)
-    def Amul_scaled(x):
-        return Amul(x)
-
-    def Atmul_scaled(y):
-        return Atmul(y)
-
     def residuals(st: _LoopState):
         """Unscaled residuals and tolerances (osqp scaled_termination=0)."""
-        Ax_s = Amul_scaled(st.x)
+        Ax_s = Amul(st.x)
         Px_s = jnp.einsum("...ab,...b->...a", Ps, st.x)
-        Aty_s = Atmul_scaled(st.y)
+        Aty_s = Atmul(st.y)
         cinv = 1.0 / c
         Ax_u = Ax_s / E
         z_u = st.z / E

@@ -51,17 +51,22 @@ def test_roll_periodicity():
 
 
 def test_new_phase_flags():
+    # make_gait sits one row before a phase boundary, so the very first
+    # roll (the controller's k=0 roll) lands ON the boundary: new_phase
+    # fires at rolls 0, 8, 16, ... (trot half-period = 8 MPC steps).
     gs = G.make_gait(CFG, "trot")
     flags = []
     for _ in range(16):
         gs = G.roll_gait(gs)
         flags.append(bool(gs.new_phase))
-    # phase change when the window boundary crosses rows 8 and 16
-    assert flags == [i % 8 == 7 for i in range(16)]
+    assert flags == [i % 8 == 0 for i in range(16)]
 
 
 def test_phase_durations_trot():
-    gs = G.make_gait(CFG, "trot")
+    # Query the post-k=0-roll state — the controller always rolls at k=0
+    # before any phase-duration consumer runs, so the pre-roll window
+    # (whose row 0 is a 1-step tail of the previous phase) is never seen.
+    gs = G.roll_gait(G.make_gait(CFG, "trot"))
     info = G.phase_durations(gs, 1.0, CFG.dt_mpc)
     d = np.asarray(info.duration)
     # stance phases all last half a gait period
@@ -74,7 +79,9 @@ def test_phase_durations_trot():
 
 def test_phase_duration_uses_past_after_roll():
     gs = G.make_gait(CFG, "trot")
-    for _ in range(3):
+    # roll 1 lands on the phase boundary (k=0 roll); rolls 2-4 consume
+    # three rows of foot 0's 8-step stance into pastGait
+    for _ in range(4):
         gs = G.roll_gait(gs)
     info = G.phase_durations(gs, 1.0, CFG.dt_mpc)
     # foot 0: 3 steps of its stance already in pastGait, 5 remaining
