@@ -135,22 +135,56 @@ def main():
     solves_per_s = batch / dt
     conv = float(jnp.mean(sol.converged.astype(jnp.float32)))
 
-    print(json.dumps({
+    report = {
         "metric": "mpc_solves_per_s",
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-    }))
+        "warm_conv": round(conv, 4),
+        "cold_solves_per_s": round(batch / t_cold, 1),
+        "cold_conv": round(conv_cold, 4),
+    }
     print(f"cold: {batch / t_cold:.0f} solves/s (conv {conv_cold:.3f}, "
           f"compile {t_compile:.0f}s); warm conv {conv:.3f}",
           file=sys.stderr)
-    assert conv > 0.95, f"warm convergence rate {conv:.3f} too low"
 
-    # ---- p99 control-loop latency vs the 2 ms / 500 Hz budget
-    # (BASELINE.md). One full controller tick (estimator -> planners ->
-    # MPC backend mux -> WBC) jitted as a single program; each call ends
-    # with a host read, so through the remote-TPU tunnel this includes
-    # RTT and is an upper bound on on-host latency.
+    # ---- control-loop latency vs the 2 ms / 500 Hz budget (BASELINE.md).
+    # Two numbers:
+    #  (a) IN-GRAPH amortized tick latency — the contract number. The
+    #      reference's 2 ms budget is the per-tick compute budget inside
+    #      its real-time loop (scripts/PyBulletSimulator.py:702-706); here
+    #      the equivalent loop is a jitted lax.scan of K closed-loop
+    #      controller+sim ticks executing back-to-back on the TPU, so
+    #      wall/K is the on-device per-tick latency with the single
+    #      dispatch + tunnel RTT amortized away. p50/p99 over repeated
+    #      windows.
+    #  (b) single-dispatch tick latency — one jitted controller tick per
+    #      host call; through the remote-TPU tunnel this is dominated by
+    #      RTT and is labeled as such.
+    try:
+        from qrw_tpu.sim.rollout import make_rollout, rollout
+        ctl, carry = make_rollout(dtype=jnp.float32)
+        K = 100 if args.smoke else 1000
+        n_windows = 3 if args.smoke else 30
+        run = jax.jit(lambda c: rollout(ctl, c, K, with_logs=False)[0])
+        c2 = run(carry)
+        float(jnp.asarray(c2.sim_state.q[2], jnp.float32))  # compile+sync
+        per_tick = []
+        for _ in range(n_windows):
+            t0 = time.perf_counter()
+            c2 = run(c2)
+            float(jnp.asarray(c2.sim_state.q[2], jnp.float32))
+            per_tick.append((time.perf_counter() - t0) / K * 1e3)
+        g50, g99 = np.percentile(np.asarray(per_tick), [50, 99])
+        ok = "PASS" if g99 <= 2.0 else "FAIL"
+        report["tick_latency_ms_p50_ingraph"] = round(float(g50), 4)
+        report["tick_latency_ms_p99_ingraph"] = round(float(g99), 4)
+        report["tick_budget_ms"] = 2.0
+        print(f"tick_latency_ms_ingraph: p50 {g50:.3f} p99 {g99:.3f} "
+              f"(budget 2 ms -> {ok}; lax.scan of {K} controller+sim "
+              f"ticks, {n_windows} windows)", file=sys.stderr)
+    except Exception as e:
+        print(f"in-graph latency report skipped: {e!r}", file=sys.stderr)
     try:
         from __graft_entry__ import entry
         fn, eargs = entry()
@@ -165,8 +199,10 @@ def main():
             lat.append(time.perf_counter() - t0)
         lat_ms = np.asarray(lat) * 1e3
         p50, p99 = np.percentile(lat_ms, [50, 99])
-        print(f"controller tick latency: p50 {p50:.3f} ms, p99 {p99:.3f} ms "
-              f"(budget 2 ms; includes device tunnel RTT)", file=sys.stderr)
+        report["tick_latency_ms_p99_dispatch"] = round(float(p99), 3)
+        print(f"single-dispatch tick latency: p50 {p50:.3f} ms, p99 "
+              f"{p99:.3f} ms (tunnel-RTT-bound; not the budget number)",
+              file=sys.stderr)
     except Exception as e:  # latency report is informational only
         print(f"latency report skipped: {e!r}", file=sys.stderr)
 
@@ -220,10 +256,111 @@ def main():
         dt_1 = clock(run_1, xrefs, fsteps)
         dt_s = clock(run_s, xr_s, fs_s)
         eff = (Bs / dt_s) / (n_dev * batch / dt_1)
+        report["scaling_efficiency"] = round(float(eff), 3)
+        report["scaling_n_devices"] = n_dev
         print(f"scaling: {n_dev} devices, {Bs / dt_s:.0f} cycles/s "
               f"aggregate vs {batch / dt_1:.0f} on one device -> "
               f"efficiency {eff * 100:.0f}%", file=sys.stderr)
+    elif not args.smoke:
+        # Single visible chip (the tunnel): measure the sharded program's
+        # scaling structurally on an 8-virtual-device CPU mesh in a
+        # subprocess (fresh backend). Virtual devices share the host's
+        # cores, so this measures program/launch/collective overhead of
+        # the shard_map path, not real ICI bandwidth; it is labeled as
+        # such. Real multi-chip runs take the branch above automatically.
+        import os as _os
+        import subprocess
+        env = dict(_os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        try:
+            out = subprocess.run(
+                [sys.executable, _os.path.abspath(__file__),
+                 "--scaling-cpu"], env=env, capture_output=True,
+                text=True, timeout=1200)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                sc = json.loads(line[-1])
+                report.update(sc)
+                print(f"scaling (virtual 8-dev CPU mesh, structural): "
+                      f"efficiency {sc['scaling_efficiency_virtual']:.2f} "
+                      f"({sc['scaling_solves_per_s_8dev']:.0f} vs "
+                      f"{sc['scaling_solves_per_s_1dev']:.0f} x8 solves/s)",
+                      file=sys.stderr)
+            else:
+                print(f"virtual scaling run produced no result: "
+                      f"{out.stderr[-300:]}", file=sys.stderr)
+        except Exception as e:
+            print(f"virtual scaling run skipped: {e!r}", file=sys.stderr)
+
+    print(json.dumps(report))
+    assert conv > 0.95, f"warm convergence rate {conv:.3f} too low"
+
+
+def scaling_cpu():
+    """Subprocess mode: measure shard_map scaling on the virtual CPU mesh
+    using the dense XLA solver path (the Pallas kernel requires interpret
+    mode on CPU, which would swamp the measurement). Prints one JSON line.
+    """
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import functools
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qrw_tpu.config import Config
+    from qrw_tpu.core import mpc as mpc_mod
+    from qrw_tpu.ops import qp
+    from qrw_tpu.parallel.mesh import make_mesh
+
+    cfg = Config()
+    n_dev = len(jax.devices())
+    batch = 64
+    rng = np.random.default_rng(0)
+    settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=250)
+
+    def cycle(x, f):
+        sol = jax.vmap(lambda xr, fs: mpc_mod.solve_mpc(
+            cfg, xr, fs, settings=settings))(x, f)
+        return sol.iters
+
+    xr1, fs1 = build_batch(cfg, batch, rng)
+    xr1, fs1 = jnp.asarray(xr1), jnp.asarray(fs1)
+    mesh = make_mesh()
+    Bs = batch * n_dev
+    xr_s, fs_s = build_batch(cfg, Bs, rng)
+    sharding = NamedSharding(mesh, P("dp"))
+    xr_s = jax.device_put(jnp.asarray(xr_s), sharding)
+    fs_s = jax.device_put(jnp.asarray(fs_s), sharding)
+    run_1 = jax.jit(cycle)
+    run_s = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+        check_vma=False)(cycle))
+    float(jnp.sum(run_1(xr1, fs1)).astype(jnp.float32))
+    float(jnp.sum(run_s(xr_s, fs_s)).astype(jnp.float32))
+
+    def clock(fn, x, f, reps=3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(jnp.sum(fn(x, f)).astype(jnp.float32))
+        return (time.perf_counter() - t0) / reps
+
+    dt1 = clock(run_1, xr1, fs1)
+    dts = clock(run_s, xr_s, fs_s)
+    eff = (Bs / dts) / (n_dev * batch / dt1)
+    print(json.dumps({
+        "scaling_efficiency_virtual": round(float(eff), 3),
+        "scaling_n_devices_virtual": n_dev,
+        "scaling_solves_per_s_1dev": round(batch / dt1, 1),
+        "scaling_solves_per_s_8dev": round(Bs / dts, 1),
+        "scaling_note": "8 virtual CPU devices share host cores: "
+                        "structural shard_map overhead, not ICI",
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling-cpu" in sys.argv:
+        scaling_cpu()
+    else:
+        main()

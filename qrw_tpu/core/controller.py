@@ -157,14 +157,25 @@ def init_state(ctl: Controller, dtype=jnp.float32,
     )
 
 
+class Telemetry(NamedTuple):
+    """Extra per-tick signals for structured logging (the LoggerControl
+    arrays the Result/state don't carry, scripts/LoggerControl.py:18-96)."""
+    f_wbc: jnp.ndarray         # (12,) WBC QP output forces (f_cmd + delta)
+    feet_pos_mes: jnp.ndarray  # (3, 4) foot positions at the IK config
+    feet_vel_mes: jnp.ndarray  # (3, 4) foot velocities (base frame)
+    feet_a_cmd: jnp.ndarray    # (3, 4) commanded foot accelerations
+
+
 def compute(ctl: Controller, state: ControllerState, device: DeviceData,
             k, v_ref6=None, joystick_code=0,
-            perfect_estimator: bool = False):
+            perfect_estimator: bool = False,
+            return_telemetry: bool = False):
     """One control tick (Controller.compute, scripts/Controller.py:200).
 
     k: tick counter (traced ok). v_ref6: optional explicit (6,) velocity
     command; defaults to the predefined profile cfg.velID. Returns
-    (new_state, Result)."""
+    (new_state, Result), or (new_state, Result, Telemetry) when
+    return_telemetry=True (static)."""
     cfg = ctl.cfg
     model = ctl.model
     dtype = state.q.dtype
@@ -346,4 +357,10 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
         feet_p_cmd=feet_p_cmd, feet_v_cmd=feet_v_cmd,
         planner_target=planner_target,
         error=new_err, error_code=code)
+    if return_telemetry:
+        telem = Telemetry(f_wbc=wbc_res.f_with_delta,
+                          feet_pos_mes=wbc_res.feet_pos.T,
+                          feet_vel_mes=wbc_res.feet_vel.T,
+                          feet_a_cmd=feet_a_cmd)
+        return new_state, result, telem
     return new_state, result

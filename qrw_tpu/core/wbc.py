@@ -86,6 +86,8 @@ class WBCResult(NamedTuple):
     tau_ff: jnp.ndarray    # (12,) feedforward torques
     f_with_delta: jnp.ndarray  # (12,) corrected contact forces
     ddq_cmd: jnp.ndarray   # (18,) commanded accelerations (base rows = QP)
+    feet_pos: jnp.ndarray  # (4, 3) foot positions at the IK joint config
+    feet_vel: jnp.ndarray  # (4, 3) foot velocities (base frame)
     state: WBCState
 
 
@@ -170,7 +172,8 @@ def _compute_wbc(cfg, model, state, qj, b_v18, f_cmd, contacts,
     new_state = WBCState(k_since_contact=ksc, qp_x=df, qp_y=sol.y)
     return WBCResult(qdes=qj + q_step, vdes=dq_cmd, tau_ff=tau_ff,
                      f_with_delta=f_with_delta,
-                     ddq_cmd=ddq_final, state=new_state)
+                     ddq_cmd=ddq_final, feet_pos=kin.pos, feet_vel=kin.vel,
+                     state=new_state)
 
 
 # Prime the constant eagerly (outside any trace) at import time.

@@ -33,7 +33,7 @@ class SweepResult(NamedTuple):
 
 
 def run_sweep(cfg: Optional[Config] = None,
-              vx_grid=np.linspace(0.0, 1.2, 5),
+              vx_grid=np.linspace(0.0, 2.0, 9),
               wyaw_grid=np.linspace(-1.0, 1.0, 5),
               n_ticks: int = 1500, ramp_ticks: int = 500,
               dtype=jnp.float32, mesh=None) -> SweepResult:

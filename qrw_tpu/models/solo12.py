@@ -18,14 +18,19 @@ lengths 0.16 m + 0.16 m, with lateral offsets 0.0875 + 0.014 + 0.03745 +
 0.008 = 0.14695 m — which reproduces the reference's shoulder constant
 exactly.
 
-Link inertias: leg-link masses follow the open-source Solo-12 hardware
-(upper ~0.149 kg, lower+foot ~0.038 kg) with rod/cylinder inertia models;
-the *base* center of mass and rotational inertia are then solved for so that
-the whole-robot aggregate at the reference joint configuration q_init
-reproduces the reference's CoM offset (0,0,-0.03) (src/MPC.cpp:21) and
-whole-body inertia gI (src/MPC.cpp:25-26) exactly. This pins the dynamics
-that actually matter (the centroidal model the MPC optimizes) to the
-reference's own constants.
+Link inertias: vendored from the Open Dynamic Robot Initiative solo12 URDF
+(the `example_robot_data` model the reference loads at runtime,
+scripts/solo12InvKin.py:12-13, scripts/QP_WBC.py:91-104). Cross-validated
+against the reference's own hard-coded aggregates: the link masses sum to
+the reference total 2.50000279 kg to 9 significant digits (src/MPC.cpp:17),
+and the whole-robot composite inertia at q_init reproduces the hard-coded
+gI (src/MPC.cpp:25-26) within 0.5% / 3.7% / 1.2% per axis and the CoM
+z-offset -0.026 vs the reference's own "-0.03 approximation"
+(src/MPC.cpp:21) — see tests/test_rbd.py::test_aggregate_matches_reference.
+The MPC itself keeps using the reference's hard-coded aggregate (cfg.gI),
+mirroring the reference's hardcoded-MPC vs URDF-WBC split; these per-link
+values feed the CRBA/RNEA/FK path (WBC + estimator), as the URDF does
+there.
 """
 
 from __future__ import annotations
@@ -50,11 +55,23 @@ _FOOT_Y = 0.008        # lateral offset KFE -> foot
 _UPPER_L = 0.16        # upper leg length (HFE -> KFE, along -z)
 _LOWER_L = 0.16        # lower leg length (KFE -> foot, along -z)
 
-# link masses [kg]; total = base + 4 * (haa + upper + lower) = 2.50000279
-_M_HAA = 0.14853845
-_M_UPPER = 0.14853845
-_M_LOWER = 0.03764    # lower leg + foot
-_M_BASE = 2.50000279 - 4.0 * (_M_HAA + _M_UPPER + _M_LOWER)
+# link masses [kg], ODRI solo12 URDF; base + 4*(shoulder + upper + lower
+# + foot) = 2.50000279 exactly (src/MPC.cpp:17)
+_M_BASE = 1.16115091
+_M_HAA = 0.14853845       # shoulder link (HAA->HFE actuator module)
+_M_UPPER = 0.14853845     # upper leg (identical actuator module + structure)
+_M_LOWER = 0.03070001     # lower leg (carbon tube + KFE output)
+_M_FOOT = 0.00693606      # foot (fixed joint at the tube end)
+
+# actuator-module principal inertias [kg m^2] about its CoM; the same
+# module appears as the shoulder (long axis x) and the upper leg (long
+# axis z)
+_I_MOD_LONG = 0.00003024
+_I_MOD_T1 = 0.00041193
+_I_MOD_T2 = 0.00041107
+
+# base link inertia about its CoM (at the base frame origin)
+_I_BASE = (0.00578574, 0.01938108, 0.02476124)
 
 # reference aggregate constants (src/MPC.cpp:17-26)
 TOTAL_MASS = 2.50000279
@@ -91,54 +108,31 @@ class Solo12Model(NamedTuple):
         return 6 + NUM_JOINTS
 
 
-def _rod_inertia(mass: float, length: float, radius: float) -> np.ndarray:
-    """Solid-rod inertia about its CoM, rod along z."""
-    ixx = mass * (3 * radius ** 2 + length ** 2) / 12.0
-    izz = 0.5 * mass * radius ** 2
-    return np.diag([ixx, ixx, izz])
+def _leg_link_params(sx: float, sy: float):
+    """Per-leg link (mass, com, inertia) for shoulder / upper / lower
+    links, URDF values mirrored by the leg's (sx, sy) quadrant signs.
 
-
-def _leg_link_params(sy: float):
-    """Per-leg link (mass, com, inertia) for haa / upper / lower links."""
-    haa = (_M_HAA, np.array([0.0, sy * 0.5 * _HFE_Y, 0.0]),
-           _rod_inertia(_M_HAA, 0.06, 0.03))
-    upper = (_M_UPPER, np.array([0.0, sy * 0.019, -0.5 * _UPPER_L]),
-             _rod_inertia(_M_UPPER, _UPPER_L, 0.015))
-    lower = (_M_LOWER, np.array([0.0, sy * 0.5 * _FOOT_Y, -0.55 * _LOWER_L]),
-             _rod_inertia(_M_LOWER, _LOWER_L, 0.008))
+    The foot body (mass 0.00693606 at the tube end) is attached to the
+    lower leg by a fixed joint in the URDF; it is folded into the lower
+    link here exactly (combined CoM + parallel-axis inertia), keeping the
+    13-body tree while preserving the full inertial model."""
+    haa = (_M_HAA, np.array([-sx * 0.078707, sy * 0.01, 0.0]),
+           np.diag([_I_MOD_LONG, _I_MOD_T1, _I_MOD_T2]))
+    upper = (_M_UPPER,
+             np.array([sx * 0.00001377, sy * 0.01935853, -0.078707]),
+             np.diag([_I_MOD_T2, _I_MOD_T1, _I_MOD_LONG]))
+    # lower leg + foot, combined about the merged CoM
+    c_lo = np.array([0.0, sy * 0.005, -0.0787])
+    I_lo = np.diag([6.5e-5, 6.5e-5, 3e-6])
+    c_ft = np.array([0.0, sy * _FOOT_Y, -_LOWER_L])
+    I_ft = np.eye(3) * 1e-7
+    m = _M_LOWER + _M_FOOT
+    c = (_M_LOWER * c_lo + _M_FOOT * c_ft) / m
+    def _shift(I, mass, d):
+        return I + mass * (np.eye(3) * (d @ d) - np.outer(d, d))
+    I = _shift(I_lo, _M_LOWER, c_lo - c) + _shift(I_ft, _M_FOOT, c_ft - c)
+    lower = (m, c, I)
     return [haa, upper, lower]
-
-
-def _leg_fk_points(q_leg: np.ndarray, sx: float, sy: float):
-    """Host-side FK for one leg at base pose = identity.
-
-    Returns [(R, p)] world pose for haa / upper / lower frames.
-    """
-    def rot_x(a):
-        c, s = np.cos(a), np.sin(a)
-        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
-
-    def rot_y(a):
-        c, s = np.cos(a), np.sin(a)
-        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-
-    p_haa = np.array([sx * _HAA_X, sy * _HAA_Y, 0.0])
-    R_haa = rot_x(q_leg[0])
-    p_hfe = p_haa + R_haa @ np.array([0.0, sy * _HFE_Y, 0.0])
-    R_hfe = R_haa @ rot_y(q_leg[1])
-    p_kfe = p_hfe + R_hfe @ np.array([0.0, sy * _KFE_Y, -_UPPER_L])
-    R_kfe = R_hfe @ rot_y(q_leg[2])
-    return [(R_haa, p_haa), (R_hfe, p_hfe), (R_kfe, p_kfe)]
-
-
-def _calibrate_base(mass_links, com_links_world):
-    """Solve base CoM + inertia so the aggregate at Q_INIT matches the
-    reference's CoM offset and gI."""
-    m_legs = np.sum(mass_links)
-    com_weighted = np.einsum("i,ij->j", mass_links, com_links_world)
-    # base CoM such that total CoM == COM_OFFSET
-    base_com = (TOTAL_MASS * COM_OFFSET - com_weighted) / _M_BASE
-    return base_com
 
 
 def make_solo12() -> Solo12Model:
@@ -154,12 +148,9 @@ def make_solo12() -> Solo12Model:
     shoulders = np.zeros((3, NUM_FEET))
 
     # --- legs --------------------------------------------------------
-    leg_mass = []
-    leg_com_world = []
     for leg, (sx, sy) in enumerate(_LEG_SIGNS):
         base_idx = 1 + 3 * leg
-        links = _leg_link_params(sy)
-        frames = _leg_fk_points(Q_INIT[3 * leg:3 * leg + 3], sx, sy)
+        links = _leg_link_params(sx, sy)
         # haa
         parent[base_idx] = 0
         joint_axis[base_idx] = [1.0, 0.0, 0.0]
@@ -176,39 +167,15 @@ def make_solo12() -> Solo12Model:
             mass[base_idx + k] = m
             com[base_idx + k] = c
             inertia[base_idx + k] = ic
-            R, p = frames[k]
-            leg_mass.append(m)
-            leg_com_world.append(p + R @ c)
         foot_body[leg] = base_idx + 2
         foot_pos[leg] = [0.0, sy * _FOOT_Y, -_LOWER_L]
         foot_joints[leg] = [3 * leg, 3 * leg + 1, 3 * leg + 2]
         shoulders[:, leg] = [sx * _HAA_X, sy * 0.14695, 0.0]
 
-    # --- base (calibrated against reference aggregates) --------------
-    leg_mass = np.array(leg_mass)
-    leg_com_world = np.array(leg_com_world)
+    # --- base (URDF values; CoM at the base frame origin) -------------
     mass[0] = _M_BASE
-    com[0] = _calibrate_base(leg_mass, leg_com_world)
-
-    # leg rotational contribution about the total CoM at Q_INIT
-    leg_I = np.zeros((3, 3))
-    idx = 0
-    for leg, (sx, sy) in enumerate(_LEG_SIGNS):
-        frames = _leg_fk_points(Q_INIT[3 * leg:3 * leg + 3], sx, sy)
-        for k, (m, c, ic) in enumerate(_leg_link_params(sy)):
-            R, p = frames[k]
-            d = (p + R @ c) - COM_OFFSET
-            dd = np.eye(3) * (d @ d) - np.outer(d, d)
-            leg_I += R @ ic @ R.T + m * dd
-            idx += 1
-    d = com[0] - COM_OFFSET
-    dd = np.eye(3) * (d @ d) - np.outer(d, d)
-    base_I = GI - leg_I - _M_BASE * dd
-    # symmetrize and guard positive-definiteness
-    base_I = 0.5 * (base_I + base_I.T)
-    w, V = np.linalg.eigh(base_I)
-    base_I = V @ np.diag(np.maximum(w, 1e-4)) @ V.T
-    inertia[0] = base_I
+    com[0] = np.zeros(3)
+    inertia[0] = np.diag(_I_BASE)
 
     return Solo12Model(
         parent=parent, joint_axis=joint_axis, joint_pos=joint_pos,

@@ -40,9 +40,23 @@ class RolloutLog(NamedTuple):
     tau_ff: jnp.ndarray        # (T, 12) feedforward torques
     tau_applied: jnp.ndarray   # (T, 12) PD+ff torques applied by the sim
     f_mpc: jnp.ndarray         # (T, 12) first-step MPC forces
+    f_wbc: jnp.ndarray         # (T, 12) WBC QP output forces
     feet_pos_ref: jnp.ndarray  # (T, 3, 4) swing-trajectory foot targets
+    feet_p_cmd: jnp.ndarray    # (T, 3, 4) foot position refs (base frame)
+    feet_v_cmd: jnp.ndarray    # (T, 3, 4) foot velocity refs (base frame)
+    feet_a_cmd: jnp.ndarray    # (T, 3, 4) foot acceleration refs
+    feet_pos_mes: jnp.ndarray  # (T, 3, 4) IK-model foot positions
+    feet_vel_mes: jnp.ndarray  # (T, 3, 4) IK-model foot velocities
     q_est: jnp.ndarray         # (T, 19) controller hybrid state estimate
     v_est: jnp.ndarray         # (T, 18) estimator velocity
+    est_hp_vel: jnp.ndarray    # (T, 3) velocity comp-filter HP part
+    est_lp_vel: jnp.ndarray    # (T, 3) velocity comp-filter LP part
+    est_hp_pos: jnp.ndarray    # (T, 3) position comp-filter HP part
+    est_lp_pos: jnp.ndarray    # (T, 3) position comp-filter LP part
+    est_fk_vel: jnp.ndarray    # (T, 3) FK velocity input to the filter
+    est_fk_xyz: jnp.ndarray    # (T, 3) FK position input to the filter
+    x_f_mpc: jnp.ndarray       # (T, 24, N) full MPC predicted plan
+    gait_row0: jnp.ndarray     # (T, 4) current contact state
     mpc_xref: jnp.ndarray      # (T, 12, N+1) latest MPC solve inputs
     mpc_fsteps: jnp.ndarray    # (T, N_gait, 12) (offline re-solve capture)
     error: jnp.ndarray         # (T,) security latch
@@ -65,8 +79,9 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
     def loop(carry, inp):
         k, v_ref, f_ext = inp
         cs, ss, device = carry
-        cs, result = compute(ctl, cs, device, k, v_ref6=v_ref,
-                             perfect_estimator=perfect_estimator)
+        cs, result, telem = compute(ctl, cs, device, k, v_ref6=v_ref,
+                                    perfect_estimator=perfect_estimator,
+                                    return_telemetry=True)
         ss, device = step(cfg, ctl.model, ss, result.P, result.D,
                           result.q_des, result.v_des, result.tau_ff,
                           f_ext=f_ext, terrain=terrain)
@@ -76,8 +91,18 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
             q_mes=ss.q[7:], v_mes=ss.v[6:],
             q_des=result.q_des, v_des=result.v_des,
             tau_ff=result.tau_ff, tau_applied=ss.joint_torques,
-            f_mpc=cs.x_f_mpc[12:, 0], feet_pos_ref=cs.foot_traj.position,
+            f_mpc=cs.x_f_mpc[12:, 0], f_wbc=telem.f_wbc,
+            feet_pos_ref=cs.foot_traj.position,
+            feet_p_cmd=cs.feet_p_cmd, feet_v_cmd=cs.feet_v_cmd,
+            feet_a_cmd=telem.feet_a_cmd,
+            feet_pos_mes=telem.feet_pos_mes,
+            feet_vel_mes=telem.feet_vel_mes,
             q_est=cs.q, v_est=cs.v,
+            est_hp_vel=cs.estimator.hp_vel, est_lp_vel=cs.estimator.lp_vel,
+            est_hp_pos=cs.estimator.hp_pos, est_lp_pos=cs.estimator.lp_pos,
+            est_fk_vel=cs.estimator.fk_lin_vel,
+            est_fk_xyz=cs.estimator.fk_xyz,
+            x_f_mpc=cs.x_f_mpc, gait_row0=cs.gait.current[0],
             mpc_xref=cs.last_xref, mpc_fsteps=cs.last_fsteps,
             error=cs.error, error_code=cs.error_code,
         ) if with_logs else None

@@ -138,6 +138,36 @@ def test_rnea_coriolis_energy_rate():
     assert abs(lhs - rhs) < 1e-4 * max(1.0, abs(lhs))
 
 
+def test_aggregate_matches_reference():
+    """The vendored URDF per-link inertials must reproduce the reference's
+    own hard-coded whole-robot aggregates (src/MPC.cpp:17-26): total mass
+    exactly, composite rotational inertia at q_init within a few percent
+    per axis, CoM z-offset near the reference's '-0.03 approximation'."""
+    from qrw_tpu.models.solo12 import GI, TOTAL_MASS, make_solo12
+    from qrw_tpu.ops.rotations import quat_to_rot
+
+    model = make_solo12()
+    np.testing.assert_allclose(float(model.mass.sum()), TOTAL_MASS,
+                               rtol=1e-9)
+
+    # composite CoM + inertia at q_init via the FK kernel
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    base_pos = jnp.zeros(3)
+    R, p = rbd.fk_world(MODEL, base_pos, quat, jnp.asarray(Q_INIT))
+    R, p = np.asarray(R), np.asarray(p)
+    m = np.asarray(model.mass)
+    c_w = p + np.einsum("bij,bj->bi", R, np.asarray(model.com))
+    com = (m[:, None] * c_w).sum(0) / m.sum()
+    assert abs(com[0]) < 1e-6 and abs(com[1]) < 1e-6
+    assert abs(com[2] - (-0.03)) < 0.005    # reference calls -0.03 approx
+    I = np.zeros((3, 3))
+    for k in range(len(m)):
+        d = c_w[k] - com
+        I += (R[k] @ np.asarray(model.inertia[k]) @ R[k].T
+              + m[k] * (np.eye(3) * (d @ d) - np.outer(d, d)))
+    np.testing.assert_allclose(np.diag(I), np.diag(GI), rtol=0.04)
+
+
 def test_batched_vmap():
     B = 8
     rng = np.random.default_rng(5)

@@ -64,6 +64,50 @@ def test_forward_trot_tracks_velocity():
     assert abs(v_cruise.mean() - 0.3) < 0.12
 
 
+def test_reference_default_scenario():
+    """The reference's default run to spec: N_SIMULATION=3000 ticks of the
+    velID=2 predefined profile (src/config_solo12.yaml:10-14) — the cubic
+    ramp toward 0.7 m/s reaches ~0.28 m/s by tick 3000
+    (scripts/Joystick.py:232-239: k_switch [0, 7000, ...]). Security
+    oracles + velocity tracking at the profile's own pace."""
+    from qrw_tpu.core.joystick import v_ref_profile
+    cfg = Config(velID=2, N_SIMULATION=3000)
+    ctl, carry = make_rollout(cfg, dtype=jnp.float64)
+    n = 3000
+    carry, logs = jax.jit(
+        lambda c: rollout(ctl, c, n, perfect_estimator=True))(carry)
+    assert not np.any(np.asarray(logs.error)), "security latch triggered"
+    h = np.asarray(logs.base_pos[:, 2])
+    assert np.all(h[100:] > cfg.h_ref - 0.05)
+    assert np.all(h[100:] < cfg.h_ref + 0.05)
+    # track the profile's commanded velocity over the last 500 ticks
+    v_cmd = np.asarray(jax.vmap(
+        lambda k: v_ref_profile(k, 2, jnp.float64))(jnp.arange(n)))[:, 0]
+    v_mes = np.asarray(logs.base_vel[:, 0])
+    assert abs(v_mes[-500:].mean() - v_cmd[-500:].mean()) < 0.1, (
+        v_mes[-500:].mean(), v_cmd[-500:].mean())
+
+
+def test_cruise_at_reference_top_speed():
+    """1.3 m/s trot cruise — the velID=2 profile's target plateau
+    (scripts/Joystick.py:232-239). The profile itself takes 14000 ticks
+    to get there; this test uses a compressed (harsher) linear ramp over
+    2500 ticks then asserts a stable 1500-tick cruise at 1.3 m/s."""
+    ctl, carry = make_rollout(CFG, dtype=jnp.float64)
+    n, ramp = 4000, 2500
+    vx = jnp.minimum(1.3, jnp.arange(n) * (1.3 / ramp))
+    sched = jnp.zeros((n, 6), jnp.float64).at[:, 0].set(vx)
+    carry, logs = jax.jit(
+        lambda c: rollout(ctl, c, n, v_ref_schedule=sched,
+                          perfect_estimator=True))(carry)
+    assert not np.any(np.asarray(logs.error)), "security latch triggered"
+    h = np.asarray(logs.base_pos[:, 2])
+    assert np.all(h[100:] > CFG.h_ref - 0.05)
+    assert np.all(h[100:] < CFG.h_ref + 0.05)
+    v_cruise = np.asarray(logs.base_vel[-1200:, 0])
+    assert abs(v_cruise.mean() - 1.3) < 0.08, v_cruise.mean()
+
+
 def test_async_mpc_rollout_stands():
     """Stale-plan (async MPC) semantics: closed loop stays upright while
     consuming one-period-stale plans (scripts/MPC_Wrapper.py:89-103)."""

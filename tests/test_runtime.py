@@ -33,8 +33,9 @@ def test_plot_all(tmp_path):
     data = qlog.log_to_dict(logs, cfg)
     figs = qlog.plot_all(data, dt=cfg.dt_wbc, show=False,
                          save_prefix=str(tmp_path / "fig"))
-    assert len(figs) == 4
+    assert len(figs) == 13   # the plotAll parity set (utils/logger.py)
     assert os.path.exists(str(tmp_path / "fig_fig0.png"))
+    assert os.path.exists(str(tmp_path / "fig_fig12.png"))
 
 
 def test_cli_main(tmp_path, monkeypatch):
