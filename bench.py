@@ -148,41 +148,108 @@ def main():
           f"compile {t_compile:.0f}s); warm conv {conv:.3f}",
           file=sys.stderr)
 
-    # ---- control-loop latency vs the 2 ms / 500 Hz budget (BASELINE.md).
-    # Two numbers:
-    #  (a) IN-GRAPH amortized tick latency — the contract number. The
-    #      reference's 2 ms budget is the per-tick compute budget inside
-    #      its real-time loop (scripts/PyBulletSimulator.py:702-706); here
-    #      the equivalent loop is a jitted lax.scan of K closed-loop
-    #      controller+sim ticks executing back-to-back on the TPU, so
-    #      wall/K is the on-device per-tick latency with the single
-    #      dispatch + tunnel RTT amortized away. p50/p99 over repeated
-    #      windows.
-    #  (b) single-dispatch tick latency — one jitted controller tick per
-    #      host call; through the remote-TPU tunnel this is dominated by
-    #      RTT and is labeled as such.
+    # ---- control-loop latency vs the budgets (BASELINE.md):
+    #   * 2 ms / 500 Hz for estimator + planners + WBC — the reference's
+    #     per-tick budget (src/config_solo12.yaml:6, busy-wait at
+    #     scripts/PyBulletSimulator.py:702-706). Measured as a jitted
+    #     lax.scan of CONTROLLER ticks on recorded device inputs with the
+    #     tick index phased so the 50 Hz MPC branch never fires — exactly
+    #     the stage set the budget covers (the MPC has its own 20 ms
+    #     budget and PyBullet plays the world, not the controller).
+    #   * 20 ms / 50 Hz per MPC solve (src/config_solo12.yaml:11),
+    #     derived from the amortized full-cadence scan.
+    #   * controller+sim per tick — the in-graph simulation use case
+    #     (informational; the reference leaves this to PyBullet on the
+    #     host).
+    # All numbers amortize the single dispatch + tunnel RTT over K ticks;
+    # p50/p99 are over repeated windows. The single-dispatch number is
+    # reported separately, labeled tunnel-bound.
     try:
+        from qrw_tpu.core.controller import compute
         from qrw_tpu.sim.rollout import make_rollout, rollout
         ctl, carry = make_rollout(dtype=jnp.float32)
         K = 100 if args.smoke else 1000
         n_windows = 3 if args.smoke else 30
+        k_mpc = ctl.cfg.k_mpc
+
+        # capture a realistic device-input trajectory once (closed loop)
+        def capture(c):
+            from qrw_tpu.sim.physics import step as sim_step
+
+            def body(carry, k):
+                cs, ss, dev = carry
+                cs, res = compute(ctl, cs, dev, k)
+                ss, dev = sim_step(ctl.cfg, ctl.model, ss, res.P, res.D,
+                                   res.q_des, res.v_des, res.tau_ff)
+                return (cs, ss, dev), dev
+
+            ss0 = c.sim_state
+            from qrw_tpu.core.estimator import DeviceData as DD
+            dev0 = DD(base_lin_acc=jnp.zeros(3, jnp.float32),
+                      base_ang_vel=ss0.v[3:6], base_quat=ss0.q[3:7],
+                      q_mes=ss0.q[7:], v_mes=ss0.v[6:],
+                      dummy_pos=ss0.q[0:3], b_base_vel=ss0.v[0:3])
+            (cs, _, _), devs = jax.lax.scan(
+                body, (c.ctl_state, ss0, dev0), jnp.arange(K))
+            return cs, devs
+
+        cs_end, devs = jax.jit(capture)(carry)
+        jax.block_until_ready(devs)
+
+        def ctrl_scan(cs, ks):
+            def body(c, inp):
+                k, d = inp
+                c2, res = compute(ctl, c, d, k)
+                return c2, res.tau_ff[0]
+            cs2, out = jax.lax.scan(body, cs, (ks, devs))
+            return cs2, out
+
+        scan_j = jax.jit(ctrl_scan)
+        ks_wbc = (jnp.arange(K) * k_mpc + 3).astype(jnp.int32)  # no MPC
+        ks_full = jnp.arange(K, dtype=jnp.int32)                # 50 Hz MPC
+
+        def clock(ks):
+            cs2, out = scan_j(carry.ctl_state, ks)
+            float(jnp.asarray(out[-1], jnp.float32))
+            ts = []
+            for _ in range(n_windows):
+                t0 = time.perf_counter()
+                cs2, out = scan_j(carry.ctl_state, ks)
+                float(jnp.asarray(out[-1], jnp.float32))
+                ts.append((time.perf_counter() - t0) / K * 1e3)
+            return np.percentile(np.asarray(ts), [50, 99])
+
+        w50, w99 = clock(ks_wbc)
+        f50, f99 = clock(ks_full)
+        mpc_ms = max(0.0, (f50 - w50) * k_mpc)  # cost of one 50 Hz solve
+        ok = "PASS" if w99 <= 2.0 else "FAIL"
+        ok_mpc = "PASS" if mpc_ms <= 20.0 else "FAIL"
+        report["tick_latency_ms_p50_ctrl"] = round(float(w50), 4)
+        report["tick_latency_ms_p99_ctrl"] = round(float(w99), 4)
+        report["tick_budget_ms"] = 2.0
+        report["mpc_solve_ms_ingraph"] = round(float(mpc_ms), 3)
+        report["mpc_budget_ms"] = 20.0
+        print(f"controller tick (est+planners+WBC, in-graph): p50 "
+              f"{w50:.3f} p99 {w99:.3f} ms (budget 2 ms -> {ok}); "
+              f"full cadence p50 {f50:.3f} ms; MPC solve "
+              f"{mpc_ms:.2f} ms (budget 20 ms -> {ok_mpc})",
+              file=sys.stderr)
+
+        # controller+sim (informational)
         run = jax.jit(lambda c: rollout(ctl, c, K, with_logs=False)[0])
         c2 = run(carry)
-        float(jnp.asarray(c2.sim_state.q[2], jnp.float32))  # compile+sync
-        per_tick = []
-        for _ in range(n_windows):
+        float(jnp.asarray(c2.sim_state.q[2], jnp.float32))
+        ts = []
+        for _ in range(max(3, n_windows // 3)):
             t0 = time.perf_counter()
             c2 = run(c2)
             float(jnp.asarray(c2.sim_state.q[2], jnp.float32))
-            per_tick.append((time.perf_counter() - t0) / K * 1e3)
-        g50, g99 = np.percentile(np.asarray(per_tick), [50, 99])
-        ok = "PASS" if g99 <= 2.0 else "FAIL"
-        report["tick_latency_ms_p50_ingraph"] = round(float(g50), 4)
-        report["tick_latency_ms_p99_ingraph"] = round(float(g99), 4)
-        report["tick_budget_ms"] = 2.0
-        print(f"tick_latency_ms_ingraph: p50 {g50:.3f} p99 {g99:.3f} "
-              f"(budget 2 ms -> {ok}; lax.scan of {K} controller+sim "
-              f"ticks, {n_windows} windows)", file=sys.stderr)
+            ts.append((time.perf_counter() - t0) / K * 1e3)
+        s50 = float(np.percentile(np.asarray(ts), 50))
+        report["tick_latency_ms_p50_ctrl_plus_sim"] = round(s50, 4)
+        print(f"controller+sim in-graph tick: p50 {s50:.3f} ms "
+              f"(simulation use case; world stepping is outside the "
+              f"reference's 2 ms budget)", file=sys.stderr)
     except Exception as e:
         print(f"in-graph latency report skipped: {e!r}", file=sys.stderr)
     try:
@@ -272,8 +339,12 @@ def main():
         import subprocess
         env = dict(_os.environ)
         env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                            + " --xla_force_host_platform_device_count=8")
+        # one virtual device per physical core — more devices than cores
+        # cannot run concurrently and would only measure contention
+        n_virt = max(2, min(8, _os.cpu_count() or 2))
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_virt}")
         try:
             out = subprocess.run(
                 [sys.executable, _os.path.abspath(__file__),
@@ -284,10 +355,11 @@ def main():
             if line:
                 sc = json.loads(line[-1])
                 report.update(sc)
-                print(f"scaling (virtual 8-dev CPU mesh, structural): "
-                      f"efficiency {sc['scaling_efficiency_virtual']:.2f} "
-                      f"({sc['scaling_solves_per_s_8dev']:.0f} vs "
-                      f"{sc['scaling_solves_per_s_1dev']:.0f} x8 solves/s)",
+                print(f"scaling (virtual {n_virt}-dev CPU mesh, weak, "
+                      f"structural): efficiency "
+                      f"{sc['scaling_efficiency_virtual']:.2f} "
+                      f"({sc['scaling_solves_per_s_ndev']:.0f} aggregate "
+                      f"vs {sc['scaling_solves_per_s_1dev']:.0f} /dev)",
                       file=sys.stderr)
             else:
                 print(f"virtual scaling run produced no result: "
@@ -300,23 +372,31 @@ def main():
 
 
 def scaling_cpu():
-    """Subprocess mode: measure shard_map scaling on the virtual CPU mesh
-    using the dense XLA solver path (the Pallas kernel requires interpret
-    mode on CPU, which would swamp the measurement). Prints one JSON line.
-    """
+    """Subprocess mode: measure shard_map WEAK scaling on the virtual CPU
+    mesh using the dense XLA solver path (the Pallas kernel requires
+    interpret mode on CPU, which would swamp the measurement).
+
+    Methodology: the SAME per-device program (fixed per-shard batch)
+    under shard_map over a 1-device mesh vs the full mesh; efficiency =
+    t_1dev / t_Ndev. This isolates the sharded program's launch /
+    partitioning overhead — on virtual devices the shards genuinely run
+    concurrently on separate host cores (the measurement needs
+    n_dev <= physical cores to be meaningful; it is labeled structural
+    either way since there is no real ICI). Prints one JSON line."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import functools
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
     from qrw_tpu.config import Config
     from qrw_tpu.core import mpc as mpc_mod
     from qrw_tpu.ops import qp
-    from qrw_tpu.parallel.mesh import make_mesh
 
     cfg = Config()
-    n_dev = len(jax.devices())
-    batch = 64
+    devs = jax.devices()
+    n_dev = len(devs)
+    per_dev = 32
     rng = np.random.default_rng(0)
     settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=250)
 
@@ -325,37 +405,37 @@ def scaling_cpu():
             cfg, xr, fs, settings=settings))(x, f)
         return sol.iters
 
-    xr1, fs1 = build_batch(cfg, batch, rng)
-    xr1, fs1 = jnp.asarray(xr1), jnp.asarray(fs1)
-    mesh = make_mesh()
-    Bs = batch * n_dev
-    xr_s, fs_s = build_batch(cfg, Bs, rng)
-    sharding = NamedSharding(mesh, P("dp"))
-    xr_s = jax.device_put(jnp.asarray(xr_s), sharding)
-    fs_s = jax.device_put(jnp.asarray(fs_s), sharding)
-    run_1 = jax.jit(cycle)
-    run_s = jax.jit(functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
-        check_vma=False)(cycle))
-    float(jnp.sum(run_1(xr1, fs1)).astype(jnp.float32))
-    float(jnp.sum(run_s(xr_s, fs_s)).astype(jnp.float32))
+    def make_run(mesh, B):
+        xr, fs = build_batch(cfg, B, rng)
+        sharding = NamedSharding(mesh, P("dp"))
+        xr = jax.device_put(jnp.asarray(xr), sharding)
+        fs = jax.device_put(jnp.asarray(fs), sharding)
+        run = jax.jit(functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+            check_vma=False)(cycle))
+        return run, xr, fs
 
     def clock(fn, x, f, reps=3):
+        float(jnp.sum(fn(x, f)).astype(jnp.float32))   # compile
         t0 = time.perf_counter()
         for _ in range(reps):
             float(jnp.sum(fn(x, f)).astype(jnp.float32))
         return (time.perf_counter() - t0) / reps
 
+    run_1, xr1, fs1 = make_run(Mesh(np.array(devs[:1]), ("dp",)), per_dev)
+    run_n, xrn, fsn = make_run(Mesh(np.array(devs), ("dp",)),
+                               per_dev * n_dev)
     dt1 = clock(run_1, xr1, fs1)
-    dts = clock(run_s, xr_s, fs_s)
-    eff = (Bs / dts) / (n_dev * batch / dt1)
+    dtn = clock(run_n, xrn, fsn)
+    eff = dt1 / dtn
     print(json.dumps({
         "scaling_efficiency_virtual": round(float(eff), 3),
         "scaling_n_devices_virtual": n_dev,
-        "scaling_solves_per_s_1dev": round(batch / dt1, 1),
-        "scaling_solves_per_s_8dev": round(Bs / dts, 1),
-        "scaling_note": "8 virtual CPU devices share host cores: "
-                        "structural shard_map overhead, not ICI",
+        "scaling_solves_per_s_1dev": round(per_dev / dt1, 1),
+        "scaling_solves_per_s_ndev": round(per_dev * n_dev / dtn, 1),
+        "scaling_note": "weak scaling of the sharded program on virtual "
+                        "CPU devices, one per physical core (structural "
+                        "overhead, no real ICI)",
     }))
 
 

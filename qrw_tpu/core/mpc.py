@@ -313,18 +313,41 @@ class MPCBatchState(NamedTuple):
     kinv_rho: jnp.ndarray     # (B, 1)
 
 
+def shift_warm_state(state: MPCBatchState, n_steps: int) -> MPCBatchState:
+    """Advance the warm-start carry by one MPC step for the production
+    rolling-gait pattern: the gait window shifts one row per 50 Hz cycle,
+    so the previous cycle's step-k solution is this cycle's step-(k-1).
+    Rolls the primal (12/step), the dual (20 cone + 12 activation rows
+    per step) and K^-1's step blocks so the Newton-Schulz warm
+    refactorization and the ADMM warm start stay aligned with the
+    problem. (The reference gets the same effect implicitly: OSQP's
+    persistent workspace warm start plus the wrapper's stale-plan roll,
+    scripts/MPC_Wrapper.py:89-103.)"""
+    mc = 20 * n_steps
+    y_cone = jnp.roll(state.y[:, :mc], -20, axis=1)
+    y_id = jnp.roll(state.y[:, mc:], -12, axis=1)
+    return state._replace(
+        f=jnp.roll(state.f, -12, axis=1),
+        y=jnp.concatenate([y_cone, y_id], axis=1),
+        kinv=jnp.roll(jnp.roll(state.kinv, -12, axis=1), -12, axis=2),
+    )
+
+
 def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
                            fsteps: jnp.ndarray,
                            state: Optional[MPCBatchState] = None,
                            settings: Optional["qp.QPSettings"] = None,
                            schedule=None, tile: int = 16,
+                           shift: bool = False,
                            interpret: bool = False):
     """Batched MPC solve on the fused Pallas ADMM kernel (ops/qp_pallas).
 
     xrefs (B, 12, N+1); fsteps (B, N_gait, 12). Cold call (state=None)
     runs Ruiz + the rho-adaptation schedule; warm calls reuse the
     preconditioner and adapted rho and default to a single short round.
-    Returns (x_f_applied (B, 24, N), new_state, result).
+    shift=True advances the warm carry by one MPC step first (use when
+    the gait window rolled since the previous call — the 50 Hz
+    controller cadence). Returns (x_f_applied, new_state, result).
     """
     import jax
     from qrw_tpu.ops import qp_pallas
@@ -344,6 +367,8 @@ def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
     cone = qp.ConeStructure(N, cfg.mu)
     kw = {}
     if state is not None:
+        if shift:
+            state = shift_warm_state(state, N)
         kw = dict(x0=state.f, y0=state.y, rho_init=state.rho,
                   precond=(state.D, state.E, state.c),
                   kinv_init=state.kinv, kinv_rho=state.kinv_rho)

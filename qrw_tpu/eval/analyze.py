@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compare", action="store_true",
                    help="re-solve every MPC cycle with the QP and DDP "
                         "backends and report the divergence")
+    p.add_argument("--fk-feet", action="store_true",
+                   help="per-foot leg-odometry velocity study "
+                        "(plot_IMU_mocap_result.py per-foot figures)")
+    p.add_argument("--tracking", nargs="*", default=None, metavar="NPZ",
+                   help="velocity-command tracking figure; extra .npz "
+                        "paths overlay multiple runs (plot_comparison_fb)")
     p.add_argument("--show", action="store_true",
                    help="show figures interactively instead of saving")
     return p
@@ -87,6 +93,24 @@ def main(argv=None) -> int:
         if args.plot is not None:
             est_plot(data, cfg, show=args.show,
                      save_prefix=None if args.show else args.plot)
+
+    if args.fk_feet:
+        from qrw_tpu.eval.estimator_eval import plot_fk_feet
+        prefix = args.plot or "qrw_analysis"
+        plot_fk_feet(data, cfg, show=args.show,
+                     save_prefix=None if args.show else prefix)
+        if not args.show:
+            print(f"per-foot odometry figure saved as {prefix}_fk_feet.png")
+
+    if args.tracking is not None:
+        from qrw_tpu.eval.estimator_eval import plot_tracking
+        runs = [data] + [load_npz(p) for p in args.tracking]
+        labels = [args.npz] + list(args.tracking)
+        prefix = args.plot or "qrw_analysis"
+        plot_tracking(runs, labels, cfg, show=args.show,
+                      save_prefix=None if args.show else prefix)
+        if not args.show:
+            print(f"tracking figure saved as {prefix}_tracking.png")
 
     if args.compare:
         import jax.numpy as jnp

@@ -115,6 +115,110 @@ def plot(logs, cfg: Optional[Config] = None, show: bool = True,
     return fig
 
 
+def fk_per_foot_velocity(logs, cfg: Optional[Config] = None):
+    """Offline per-foot kinematic base-velocity estimates.
+
+    The reference's estimator studies recompute, per contact foot, the
+    base velocity implied by leg odometry (BaseVelocityFromKinAndIMU,
+    scripts/plot_IMU_mocap_result.py:96-135: v = omega x r - R v_foot at
+    the IMU location) from the logged encoder/IMU signals with Pinocchio.
+    Here the same quantity is recomputed from the logged q_mes/v_mes and
+    angular velocity with the rbd kernels, batched over all ticks in one
+    vmap. Returns (T, 4, 3) per-foot velocities in the base frame."""
+    from qrw_tpu.models.solo12 import make_solo12
+    from qrw_tpu.ops import rbd
+
+    cfg = cfg if cfg is not None else Config()
+    d = _as_dict(logs)
+    model = rbd.to_jax(make_solo12())
+    q_mes = jnp.asarray(d["q_mes"], jnp.float64)
+    v_mes = jnp.asarray(d["v_mes"], jnp.float64)
+    omega = jnp.asarray(d["rpy_vel"], jnp.float64)
+
+    def per_tick(qj, vj, w):
+        zero3 = jnp.zeros(3, jnp.float64)
+        ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+        kin = rbd.frame_kinematics(model, zero3, ident, qj,
+                                   jnp.zeros(6, jnp.float64), vj)
+        # v_base = omega x (-r_foot) - v_foot for each foot
+        return jnp.cross(w[None, :], -kin.pos) - kin.vel
+
+    return np.asarray(jax.vmap(per_tick)(q_mes, v_mes, omega))
+
+
+def plot_fk_feet(logs, cfg: Optional[Config] = None, show: bool = True,
+                 save_prefix: Optional[str] = None):
+    """Per-foot leg-odometry velocity vs ground truth vs the fused
+    estimate (the per-foot study figures of plot_IMU_mocap_result.py)."""
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cfg = cfg if cfg is not None else Config()
+    d = _as_dict(logs)
+    v_feet = fk_per_foot_velocity(d, cfg)
+    t = np.arange(d["base_pos"].shape[0]) * cfg.dt_wbc
+    names = ["FL", "FR", "HL", "HR"]
+    fig, axs = plt.subplots(3, 1, figsize=(12, 9), sharex=True)
+    for a, lbl in enumerate("xyz"):
+        for f in range(4):
+            axs[a].plot(t, v_feet[:, f, a], lw=0.6, alpha=0.7,
+                        label=f"{names[f]} odometry" if a == 0 else None)
+        axs[a].plot(t, d["base_vel"][:, a], "k", lw=1.0,
+                    label="ground truth" if a == 0 else None)
+        if "v_est" in d:
+            axs[a].plot(t, d["v_est"][:, a], "r--", lw=1.0,
+                        label="fused estimate" if a == 0 else None)
+        axs[a].set_ylabel(f"base v{lbl} [m/s]")
+    axs[0].legend(fontsize=7, ncol=3)
+    axs[2].set_xlabel("t [s]")
+    fig.suptitle("Per-foot leg-odometry base velocity")
+    if save_prefix:
+        fig.savefig(save_prefix + "_fk_feet.png", dpi=110)
+    if show:  # pragma: no cover
+        plt.show()
+    return fig
+
+
+def plot_tracking(logs_list, labels=None, cfg: Optional[Config] = None,
+                  show: bool = True, save_prefix: Optional[str] = None):
+    """Velocity-command tracking, optionally across several runs (the
+    'Tracking of the velocity command sent to the robot' figure of
+    plot_IMU_mocap_result.py:533 and the multi-log overlays of
+    plot_comparison_fb.py)."""
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cfg = cfg if cfg is not None else Config()
+    if not isinstance(logs_list, (list, tuple)):
+        logs_list = [logs_list]
+    labels = labels or [f"run {i}" for i in range(len(logs_list))]
+    fig, axs = plt.subplots(3, 1, figsize=(12, 8), sharex=True)
+    comps = [(0, "vx [m/s]", 0), (1, "vy [m/s]", 1), (5, "wyaw [rad/s]", 2)]
+    for li, logs in enumerate(logs_list):
+        d = _as_dict(logs)
+        t = np.arange(d["base_pos"].shape[0]) * cfg.dt_wbc
+        for ci, (idx, lbl, row) in enumerate(comps):
+            mes = (d["base_vel"][:, idx] if idx < 3
+                   else d["rpy_vel"][:, idx - 3])
+            axs[row].plot(t, mes, lw=0.8, label=labels[li])
+            if li == 0 and "v_ref" in d:
+                axs[row].plot(t, d["v_ref"][:, idx], "k--", lw=1.0,
+                              label="command")
+            axs[row].set_ylabel(lbl)
+    axs[0].legend(fontsize=8)
+    axs[2].set_xlabel("t [s]")
+    fig.suptitle("Tracking of the velocity command")
+    if save_prefix:
+        fig.savefig(save_prefix + "_tracking.png", dpi=110)
+    if show:  # pragma: no cover
+        plt.show()
+    return fig
+
+
 def run_demo(cfg: Optional[Config] = None, n_ticks: int = 500,
              kf: bool = False, dtype=jnp.float64) -> Dict[str, float]:
     """Estimator demo run (main_solo12_demo_estimator.py analog): run the

@@ -1,0 +1,212 @@
+"""Solver parity over a 320-cycle closed-loop trot (BASELINE.md target:
+"match OSQP-MPC ground-reaction forces / joint torques within tolerance
+over a 320-step horizon").
+
+Procedure:
+  1. capture 320 MPC cycles (3200 WBC ticks) of the closed-loop trot at
+     the reference's own velID=2 ramp, solved in f64 at the reference
+     tolerances (eps 1e-6, src/MPC.cpp:529-530);
+  2. re-solve every cycle's QP with
+       a. the f64 interior-point ORACLE (tests/qp_oracle — the role OSQP
+          plays for the reference; verified by KKT residuals),
+       b. the production Pallas f32 path at its relaxed controller
+          tolerance (eps 1e-4, warm-started cycle to cycle exactly like
+          bench.py / the 50 Hz controller),
+       c. the XLA f64 sync path at reference tolerances (eps 1e-6);
+  3. report max/mean force errors vs the oracle (first-step forces — the
+     ones the WBC actually consumes — and the full horizon), plus the
+     relaxed path's convergence rate, and the induced joint-torque error
+     via the contact-Jacobian map tau = -Jc' f at the logged
+     configuration (upper-bounding the WBC torque deviation).
+
+Run: python -m qrw_tpu.eval.parity_320 [--cycles 320] [--backend auto]
+Prints one JSON dict; paste into PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def capture(cfg, n_cycles: int):
+    """(C, 12, N+1) xrefs + (C, N_gait, 12) fsteps from a closed-loop
+    trot driven by the velID=2 profile (f64, reference tolerances)."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+
+    n_ticks = n_cycles * cfg.k_mpc
+    ctl, carry = make_rollout(cfg, dtype=jnp.float64)
+    _, logs = jax.jit(lambda c: rollout(ctl, c, n_ticks,
+                                        perfect_estimator=True))(carry)
+    assert not bool(np.asarray(logs.error).any()), "capture run latched"
+    ticks = np.arange(0, n_ticks, cfg.k_mpc)
+    return (np.asarray(logs.mpc_xref)[ticks],
+            np.asarray(logs.mpc_fsteps)[ticks],
+            np.asarray(logs.q_mes)[ticks])
+
+
+def solve_oracle(cfg, xrefs, fsteps):
+    """Ground-truth forces per cycle: f64 IPM on the exact condensed QP."""
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc as mpc_mod
+    sys.path.insert(0, "tests")
+    from qp_oracle import solve_qp_oracle
+
+    C = xrefs.shape[0]
+    A = mpc_mod.cone_matrix(cfg.n_steps, cfg.mu)
+    out = np.zeros((C, 12 * cfg.n_steps))
+    for i in range(C):
+        H, qlin, l, u, _, _ = mpc_mod.build_qp(
+            cfg, jnp.asarray(xrefs[i], jnp.float64),
+            jnp.asarray(fsteps[i], jnp.float64))
+        out[i] = solve_qp_oracle(np.asarray(H), np.asarray(qlin), A,
+                                 np.asarray(l), np.asarray(u), tol=1e-10)
+    return out
+
+
+def solve_pallas_seq(cfg, xrefs, fsteps, interpret: bool):
+    """The production relaxed-tolerance path, warm-started cycle to cycle
+    (the controller's 50 Hz execution pattern). Batch of 1 per call."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc as mpc_mod
+    from qrw_tpu.ops import qp
+
+    settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=450,
+                             adaptive_rho_interval=200)
+    tile = 8
+    cold = jax.jit(lambda x, f: mpc_mod.solve_mpc_batch_pallas(
+        cfg, x, f, settings=settings, tile=tile, interpret=interpret))
+    warm = jax.jit(lambda x, f, st: mpc_mod.solve_mpc_batch_pallas(
+        cfg, x, f, state=st, settings=settings, schedule=[100],
+        tile=tile, interpret=interpret))
+    C = xrefs.shape[0]
+    out = np.zeros((C, 12 * cfg.n_steps), np.float64)
+    conv = np.zeros(C, bool)
+    st = None
+    for i in range(C):
+        x = jnp.asarray(xrefs[i:i + 1], jnp.float32)
+        f = jnp.asarray(fsteps[i:i + 1], jnp.float32)
+        if st is None:
+            _, st, sol = cold(x, f)
+        else:
+            _, st, sol = warm(x, f, st)
+        out[i] = np.asarray(sol.x[0], np.float64)
+        conv[i] = bool(np.asarray(sol.converged[0]))
+    return out, conv
+
+
+def solve_xla64_seq(cfg, xrefs, fsteps):
+    """The f64 sync path at reference tolerances, warm-started."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc as mpc_mod
+
+    solve = jax.jit(lambda x, f, st: mpc_mod.solve_mpc(cfg, x, f, st))
+    C = xrefs.shape[0]
+    out = np.zeros((C, 12 * cfg.n_steps))
+    st = None
+    for i in range(C):
+        res = solve(jnp.asarray(xrefs[i], jnp.float64),
+                    jnp.asarray(fsteps[i], jnp.float64), st)
+        st = res.state
+        out[i] = np.asarray(res.state.f)
+    return out
+
+
+def torque_error(cfg, q_mes, df_first):
+    """|tau| error induced by a first-step force error df via the
+    stance-feet contact-Jacobian map tau = -Jc[:, 6:]' f at the logged
+    joint configuration (scripts/QP_WBC.py:110-117)."""
+    import jax.numpy as jnp
+    from qrw_tpu.models.solo12 import make_solo12
+    from qrw_tpu.ops import rbd
+
+    model = rbd.to_jax(make_solo12())
+    C = q_mes.shape[0]
+    errs = np.zeros(C)
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+    base = jnp.asarray([0.0, 0.0, cfg.h_ref], jnp.float64)
+    for i in range(C):
+        J = rbd.foot_jacobians(model, base, ident,
+                               jnp.asarray(q_mes[i], jnp.float64))
+        Jc = np.asarray(J).reshape(12, 18)[:, 6:]
+        errs[i] = np.max(np.abs(Jc.T @ df_first[i]))
+    return errs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=320)
+    ap.add_argument("--backend", choices=["auto", "pallas", "interpret"],
+                    default="auto")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import os
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from qrw_tpu.config import Config
+    cfg = Config(velID=2)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    interpret = (args.backend == "interpret") or (args.backend == "auto"
+                                                  and not on_tpu)
+
+    # f64 work (capture, oracle QP builds, reference-tolerance path) runs
+    # on host CPU; the production Pallas f32 path runs on the accelerator
+    # when present (interpret mode otherwise).
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        xrefs, fsteps, q_mes = capture(cfg, args.cycles)
+        f_star = solve_oracle(cfg, xrefs, fsteps)
+        f_ref64 = solve_xla64_seq(cfg, xrefs, fsteps)
+    f_relaxed, conv = solve_pallas_seq(cfg, xrefs, fsteps, interpret)
+
+    N = cfg.n_steps
+
+    def stats(f):
+        d = f - f_star
+        d1 = d.reshape(-1, N, 12)[:, 0, :]          # first-step forces
+        return {
+            "force_err_max_first_step_N": float(np.abs(d1).max()),
+            "force_err_mean_first_step_N": float(np.abs(d1).mean()),
+            "force_err_max_horizon_N": float(np.abs(d).max()),
+            "force_err_rms_horizon_N": float(np.sqrt((d ** 2).mean())),
+        }
+
+    df1 = (f_relaxed - f_star).reshape(-1, N, 12)[:, 0, :]
+    with jax.default_device(cpu0):
+        tau_err = torque_error(cfg, q_mes, df1)
+    fz_scale = cfg.mass * cfg.gravity / 2.0   # per-foot stance force scale
+
+    out = {
+        "cycles": int(args.cycles),
+        "backend_relaxed": "pallas-interpret" if interpret else "pallas",
+        "relaxed_conv_rate": float(conv.mean()),
+        "relaxed_eps": 1e-4,
+        "relaxed": stats(f_relaxed),
+        "f64_eps1e-6": stats(f_ref64),
+        "torque_err_max_Nm_relaxed": float(tau_err.max()),
+        "torque_budget_Nm": 8.0,
+        "stance_fz_scale_N": float(fz_scale),
+    }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

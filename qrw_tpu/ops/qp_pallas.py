@@ -159,6 +159,13 @@ def _build_K(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None):
     return K
 
 
+def _chol_inv(K):
+    n = K.shape[-1]
+    C = jnp.linalg.cholesky(K)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), K.shape)
+    return jax.scipy.linalg.cho_solve((C, True), eye)
+
+
 def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None,
             kinv_init=None, ns_iters: int = 3, seed_scale=None):
     """K^-1. Cold: SPD Cholesky + solve. Warm (kinv_init given): a few
@@ -168,9 +175,16 @@ def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None,
     successive-cycle K changes are small. seed_scale (B, 1): rho_old /
     rho_new ratio — K is dominated by the A'RA term (equality rows carry
     1e3 x rho), which scales linearly in rho, so rescaling the seed
-    keeps ||I - K X0|| < 1 across between-call rho adaptations."""
+    keeps ||I - K X0|| < 1 across between-call rho adaptations.
+
+    NS only converges when ||I - K X0|| < 1. Between real controller
+    cycles the STANCE PATTERN rolls one MPC step, flipping whole rho-class
+    rows (loose <-> equality, a 1e9x change) — K then differs too much
+    and NS diverges to NaN. The refinement is therefore guarded: the
+    residual ||I - K X|| is checked per problem and any failed problem
+    falls back to a fresh Cholesky factorization (taken via lax.cond so
+    the common small-drift case never pays for it)."""
     K = _build_K(P, A, rho_vec, sig_vec, cone)
-    n = P.shape[-1]
     if kinv_init is not None:
         X = kinv_init
         if seed_scale is not None:
@@ -178,10 +192,18 @@ def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None,
         for _ in range(ns_iters):
             KX = jnp.einsum("bij,bjk->bik", K, X)
             X = 2.0 * X - jnp.einsum("bij,bjk->bik", X, KX)
-        return 0.5 * (X + X.transpose(0, 2, 1))
-    C = jnp.linalg.cholesky(K)
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), K.shape)
-    return jax.scipy.linalg.cho_solve((C, True), eye)
+        X = 0.5 * (X + X.transpose(0, 2, 1))
+        # per-problem refinement quality: r = max |I - K X|
+        KX = jnp.einsum("bij,bjk->bik", K, X)
+        n = K.shape[-1]
+        ii = np.arange(n)
+        R = KX.at[:, ii, ii].add(-1.0)
+        bad = (jnp.max(jnp.abs(R), axis=(1, 2)) > 1e-2)       # (B,)
+        bad = bad | ~jnp.isfinite(jnp.sum(X, axis=(1, 2)))
+        X_fb = jax.lax.cond(jnp.any(bad), _chol_inv,
+                            lambda k: jnp.zeros_like(k), K)
+        return jnp.where(bad[:, None, None], X_fb, X)
+    return _chol_inv(K)
 
 
 def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,

@@ -160,7 +160,8 @@ def main(argv=None) -> int:
     from qrw_tpu.sim.terrain import make_terrain
     terrain = make_terrain(cfg, dtype)
     f_ext = jnp.asarray(default_perturbations(cfg, n_ticks), dtype)
-    ctl, carry = make_rollout(cfg, dtype=dtype, gait=args.gait)
+    ctl, carry = make_rollout(cfg, dtype=dtype, gait=args.gait,
+                              terrain=terrain)
     print(f"backend={jax.default_backend()} devices={len(jax.devices())} "
           f"ticks={n_ticks} velID={cfg.velID} gait={args.gait} "
           f"batch={args.batch or 1}")

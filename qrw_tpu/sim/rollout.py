@@ -59,6 +59,7 @@ class RolloutLog(NamedTuple):
     gait_row0: jnp.ndarray     # (T, 4) current contact state
     mpc_xref: jnp.ndarray      # (T, 12, N+1) latest MPC solve inputs
     mpc_fsteps: jnp.ndarray    # (T, N_gait, 12) (offline re-solve capture)
+    v_ref: jnp.ndarray         # (T, 6) commanded reference velocity
     error: jnp.ndarray         # (T,) security latch
     error_code: jnp.ndarray    # (T,) int32
 
@@ -104,7 +105,7 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
             est_fk_xyz=cs.estimator.fk_xyz,
             x_f_mpc=cs.x_f_mpc, gait_row0=cs.gait.current[0],
             mpc_xref=cs.last_xref, mpc_fsteps=cs.last_fsteps,
-            error=cs.error, error_code=cs.error_code,
+            v_ref=v_ref, error=cs.error, error_code=cs.error_code,
         ) if with_logs else None
         return (cs, ss, device), log
 
@@ -137,12 +138,15 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
 
 
 def make_rollout(cfg=None, dtype=jnp.float32, gait: str = "trot",
-                 **cfg_kw):
-    """Convenience constructor: (controller, initial carry)."""
+                 terrain=None, **cfg_kw):
+    """Convenience constructor: (controller, initial carry). Pass the
+    same `terrain` used for the rollout so the robot starts settled on
+    it (scripts/PyBulletSimulator.py:222-265)."""
     from qrw_tpu.config import Config
     if cfg is None:
         cfg = Config(**cfg_kw)
     ctl = make_controller(cfg)
     carry = RolloutCarry(ctl_state=init_state(ctl, dtype, gait=gait),
-                         sim_state=init_sim_state(cfg, dtype=dtype))
+                         sim_state=init_sim_state(cfg, terrain=terrain,
+                                                  dtype=dtype))
     return ctl, carry

@@ -99,13 +99,39 @@ def _add_box(data, cell, half, cx, cy, sx, sy, h):
     data[i0:i1, j0:j1] = np.maximum(data[i0:i1, j0:j1], h)
 
 
+def _bauzil_heights():
+    """True Bauzil staircase geometry: the reference's bauzil_stairs.stl
+    (652 triangles), with the URDF transform applied (scale 0.7/1.0/0.5,
+    yaw -0.75, translation (-1.2, -1.5, -0.01) —
+    scripts/bauzil_stairs.urdf), rasterized once into a 2 cm max-z
+    heightfield and vendored as a 2 KB npz asset. Returns
+    (heights (H, W) f32, cell, origin (2,))."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "bauzil_stairs_hf.npz")
+    with np.load(path) as f:
+        return (np.asarray(f["heights"], np.float32), float(f["cell"]),
+                np.asarray(f["origin"], np.float32))
+
+
 def make_stairs(rows: int = 512, cell: float = 0.02,
                 dtype=jnp.float32) -> Terrain:
     """envID=1 obstacle course (scripts/PyBulletSimulator.py:73-142):
-    perturbation steps on the approach + a staircase (parametric stand-in
-    for bauzil_stairs.urdf: 0.1 m risers, 0.3 m treads)."""
+    the true bauzil_stairs.urdf staircase geometry (vendored rasterized
+    heightfield, see _bauzil_heights) plus the red (1.0 x 0.1 x 0.02 m)
+    and green (0.2 x 0.1 x 0.01 m) perturbation steps at the reference's
+    positions."""
     data = np.zeros((rows, rows))
     half = rows * cell / 2.0
+    # bauzil staircase mesh, resampled onto this grid by nearest cell
+    bh, bcell, borig = _bauzil_heights()
+    H, W = bh.shape
+    ys = (np.arange(rows) * cell - half - borig[1]) / bcell   # grid rows
+    xs = (np.arange(rows) * cell - half - borig[0]) / bcell
+    iy = np.clip(np.round(ys).astype(int), 0, H - 1)
+    ix = np.clip(np.round(xs).astype(int), 0, W - 1)
+    inside = ((ys >= 0) & (ys <= H - 1))[:, None] \
+        & ((xs >= 0) & (xs <= W - 1))[None, :]
+    data = np.where(inside, bh[iy][:, ix], 0.0)
     # red steps: 1.0 x 0.1 x 0.02 m at y = 0.5 + 0.2 i (:81-101)
     for i in range(4):
         _add_box(data, cell, half, 0.0, 0.5 + 0.2 * i, 1.0, 0.1, 0.02)
@@ -115,10 +141,6 @@ def make_stairs(rows: int = 512, cell: float = 0.02,
     for i in range(3):
         _add_box(data, cell, half, 0.15 * (-1) ** i, 0.9 + 0.2 * i,
                  0.2, 0.1, 0.01)
-    # staircase rising along +y from y = 2.0
-    for s in range(8):
-        _add_box(data, cell, half, 0.0, 2.0 + 0.15 + 0.3 * s + 1.2,
-                 2.0, 2.4 - 0.3 * s, 0.1 * (s + 1))
     return Terrain(heights=jnp.asarray(data, dtype),
                    cell=jnp.asarray(cell, dtype),
                    origin=jnp.asarray([-half, -half], dtype))
