@@ -338,7 +338,7 @@ def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
                            state: Optional[MPCBatchState] = None,
                            settings: Optional["qp.QPSettings"] = None,
                            schedule=None, tile: int = 16,
-                           shift: bool = False,
+                           shift: bool = False, refactor: str = None,
                            interpret: bool = False):
     """Batched MPC solve on the fused Pallas ADMM kernel (ops/qp_pallas).
 
@@ -347,7 +347,12 @@ def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
     preconditioner and adapted rho and default to a single short round.
     shift=True advances the warm carry by one MPC step first (use when
     the gait window rolled since the previous call — the 50 Hz
-    controller cadence). Returns (x_f_applied, new_state, result).
+    controller cadence). refactor selects the K^-1 policy for warm calls
+    (see ops/qp_pallas.solve): defaults to "chol" when the problem
+    structure moved (shift) and "stale" (reuse + in-kernel iterative
+    refinement) otherwise — callers should force "chol" every ~10 cycles
+    to refresh the preconditioner. Returns (x_f_applied, new_state,
+    result).
     """
     import jax
     from qrw_tpu.ops import qp_pallas
@@ -369,9 +374,12 @@ def solve_mpc_batch_pallas(cfg: Config, xrefs: jnp.ndarray,
     if state is not None:
         if shift:
             state = shift_warm_state(state, N)
+        if refactor is None:
+            refactor = "chol" if shift else "stale"
         kw = dict(x0=state.f, y0=state.y, rho_init=state.rho,
                   precond=(state.D, state.E, state.c),
-                  kinv_init=state.kinv, kinv_rho=state.kinv_rho)
+                  kinv_init=state.kinv, kinv_rho=state.kinv_rho,
+                  refactor=refactor)
         if schedule is None:
             schedule = [100]
     sol = qp_pallas.solve(H, qlin, A, l, u, settings, tile=tile,

@@ -140,41 +140,83 @@ def torque_error(cfg, q_mes, df_first):
     return errs
 
 
+def _pallas_phase(data_path: str, out_path: str, interpret: bool):
+    """Subprocess phase: the production f32 Pallas chain. Runs WITHOUT
+    jax_enable_x64 (x64 mode leaks i64 scalars into the Mosaic kernel,
+    which the TPU toolchain rejects)."""
+    import jax
+    from qrw_tpu.config import Config
+    cfg = Config(velID=2)
+    with np.load(data_path) as f:
+        xrefs, fsteps = f["xrefs"], f["fsteps"]
+    f_relaxed, conv = solve_pallas_seq(cfg, xrefs, fsteps, interpret)
+    np.savez(out_path, f_relaxed=f_relaxed, conv=conv)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cycles", type=int, default=320)
     ap.add_argument("--backend", choices=["auto", "pallas", "interpret"],
                     default="auto")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--phase", choices=["all", "pallas"], default="all")
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
     import os
+    import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    on_tpu = (not args.cpu
+              and any(d.platform != "cpu" for d in jax.devices()))
+    interpret = (args.backend == "interpret") or (args.backend == "auto"
+                                                  and not on_tpu)
+    if args.phase == "pallas":
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        _pallas_phase(args.data, args.out, interpret)
+        return None
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
     from qrw_tpu.config import Config
     cfg = Config(velID=2)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    interpret = (args.backend == "interpret") or (args.backend == "auto"
-                                                  and not on_tpu)
-
     # f64 work (capture, oracle QP builds, reference-tolerance path) runs
-    # on host CPU; the production Pallas f32 path runs on the accelerator
-    # when present (interpret mode otherwise).
+    # on host CPU; the production Pallas f32 path runs in a subprocess
+    # without x64 (accelerator when present, interpret mode otherwise).
     cpu0 = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu0):
         xrefs, fsteps, q_mes = capture(cfg, args.cycles)
         f_star = solve_oracle(cfg, xrefs, fsteps)
         f_ref64 = solve_xla64_seq(cfg, xrefs, fsteps)
-    f_relaxed, conv = solve_pallas_seq(cfg, xrefs, fsteps, interpret)
+
+    import subprocess
+    import sys as _sys
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        dp = os.path.join(td, "cycles.npz")
+        op = os.path.join(td, "pallas.npz")
+        np.savez(dp, xrefs=xrefs, fsteps=fsteps)
+        cmd = [_sys.executable, "-m", "qrw_tpu.eval.parity_320",
+               "--phase", "pallas", "--data", dp, "--out", op,
+               "--backend", args.backend]
+        if args.cpu:
+            cmd.append("--cpu")
+        r = subprocess.run(cmd, timeout=3600, capture_output=True,
+                           text=True)
+        if r.returncode != 0:
+            print(r.stderr[-1500:], file=sys.stderr)
+            raise RuntimeError("pallas phase failed")
+        with np.load(op) as f:
+            f_relaxed, conv = f["f_relaxed"], f["conv"]
 
     N = cfg.n_steps
 

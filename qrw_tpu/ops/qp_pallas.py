@@ -55,11 +55,18 @@ HI = jax.lax.Precision.HIGHEST
 def _admm_kernel(Kinv_ref, P_ref, A_ref, q_ref, l_ref, u_ref,
                  rho_ref, sig_ref, x0_ref, y0_ref,
                  x_ref, y_ref, z_ref, pri_ref, dua_ref, n1_ref, n2_ref,
-                 *, alpha, n_iters):
+                 *, alpha, n_iters, K_ref=None):
     """One tile: TILE problems, vectors laid out (TILE, dim); runs
     exactly n_iters ADMM steps, then computes OSQP's unscaled residual
     norms once (per-problem scalars broadcast over (TILE, n) rows —
-    narrower shapes crash the Mosaic layout pass on this toolchain)."""
+    narrower shapes crash the Mosaic layout pass on this toolchain).
+
+    With K_ref (the KKT matrix itself) the x-update applies ONE step of
+    iterative refinement: xt = X b; xt += X (b - K xt). The solve error
+    drops from ||I - K X|| to its square, which makes a STALE inverse
+    from a previous cycle an exact-enough solver — the wrapper can then
+    amortize refactorization over many warm cycles instead of paying a
+    batched Cholesky (or Newton-Schulz matmuls) every call."""
     f32 = jnp.float32
     A = A_ref[:]              # (m, n) shared
     Kinv = Kinv_ref[:]        # (TILE, n, n) symmetric
@@ -69,6 +76,7 @@ def _admm_kernel(Kinv_ref, P_ref, A_ref, q_ref, l_ref, u_ref,
     rho = rho_ref[:]          # (TILE, m) diagonal rho'
     sig = sig_ref[:]          # (TILE, n) diagonal sigma'
     rho_inv = 1.0 / rho
+    K = K_ref[:] if K_ref is not None else None
 
     def Amul(V):              # (TILE, n) -> (TILE, m): rows (A v_t)'
         return jax.lax.dot_general(
@@ -80,6 +88,19 @@ def _admm_kernel(Kinv_ref, P_ref, A_ref, q_ref, l_ref, u_ref,
             W, A, (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=HI)
 
+    def solveK(b):
+        # sum_i Kinv[t,i,j] b[t,i]: K^-1 symmetric, sublane reduction
+        # keeps the vector dim on lanes
+        xt = jnp.sum(Kinv * b[:, :, None], axis=1)
+        if K is not None:
+            # two iterative-refinement steps (K symmetric): the solve
+            # error drops from e = ||I - K Kinv|| to e^3, which holds a
+            # cycles-stale inverse at f32 accuracy
+            for _ in range(2):
+                r = b - jnp.sum(K * xt[:, :, None], axis=1)
+                xt = xt + jnp.sum(Kinv * r[:, :, None], axis=1)
+        return xt
+
     x = x0_ref[:]             # (TILE, n)
     y = y0_ref[:]             # (TILE, m)
     z = Amul(x)
@@ -87,9 +108,7 @@ def _admm_kernel(Kinv_ref, P_ref, A_ref, q_ref, l_ref, u_ref,
     def step(_, s):
         x, z, y = s
         b = sig * x - q + Atmul(rho * z - y)
-        # sum_i Kinv[t,i,j] b[t,i]: K^-1 symmetric, sublane reduction
-        # keeps the vector dim on lanes
-        xt = jnp.sum(Kinv * b[:, :, None], axis=1)
+        xt = solveK(b)
         zt = Amul(xt)
         xn = alpha * xt + (1.0 - alpha) * x
         zr = alpha * zt + (1.0 - alpha) * z
@@ -166,16 +185,15 @@ def _chol_inv(K):
     return jax.scipy.linalg.cho_solve((C, True), eye)
 
 
-def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None,
-            kinv_init=None, ns_iters: int = 3, seed_scale=None):
-    """K^-1. Cold: SPD Cholesky + solve. Warm (kinv_init given): a few
-    Newton-Schulz iterations X <- X(2I - KX) refine the previous cycle's
-    inverse — pure batched MXU matmuls, ~5x faster than the batched
-    Cholesky/triangular-solve pipeline, quadratically convergent since
-    successive-cycle K changes are small. seed_scale (B, 1): rho_old /
-    rho_new ratio — K is dominated by the A'RA term (equality rows carry
-    1e3 x rho), which scales linearly in rho, so rescaling the seed
-    keeps ||I - K X0|| < 1 across between-call rho adaptations.
+def _factor(K, kinv_init=None, ns_iters: int = 3, seed_scale=None):
+    """K^-1 from the assembled KKT matrix. Cold: SPD Cholesky + solve.
+    Warm (kinv_init given): a few Newton-Schulz iterations
+    X <- X(2I - KX) refine the previous cycle's inverse — pure batched
+    MXU matmuls, quadratically convergent when successive-cycle K
+    changes are small. seed_scale (B, 1): rho_old / rho_new ratio — K is
+    dominated by the A'RA term (equality rows carry 1e3 x rho), which
+    scales linearly in rho, so rescaling the seed keeps ||I - K X0|| < 1
+    across between-call rho adaptations.
 
     NS only converges when ||I - K X0|| < 1. Between real controller
     cycles the STANCE PATTERN rolls one MPC step, flipping whole rho-class
@@ -183,9 +201,9 @@ def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None,
     and NS diverges to NaN. The refinement is therefore guarded: the
     residual ||I - K X|| is checked per problem and any failed problem
     falls back to a fresh Cholesky factorization (taken via lax.cond so
-    the common small-drift case never pays for it)."""
-    K = _build_K(P, A, rho_vec, sig_vec, cone)
+    the no-straggler case never pays for it)."""
     if kinv_init is not None:
+        B = K.shape[0]
         X = kinv_init
         if seed_scale is not None:
             X = X * seed_scale[:, :, None]
@@ -198,16 +216,26 @@ def _factor(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None,
         n = K.shape[-1]
         ii = np.arange(n)
         R = KX.at[:, ii, ii].add(-1.0)
-        bad = (jnp.max(jnp.abs(R), axis=(1, 2)) > 1e-2)       # (B,)
-        bad = bad | ~jnp.isfinite(jnp.sum(X, axis=(1, 2)))
-        X_fb = jax.lax.cond(jnp.any(bad), _chol_inv,
-                            lambda k: jnp.zeros_like(k), K)
-        return jnp.where(bad[:, None, None], X_fb, X)
+        resid = jnp.max(jnp.abs(R), axis=(1, 2))              # (B,)
+        resid = jnp.where(jnp.isfinite(resid), resid, jnp.inf)
+        bad = resid > 1e-2
+        # Fixed-capacity rescue: Cholesky-refactor only the worst seeds
+        # (a small static top-k slice, not the whole batch — a handful of
+        # stragglers per cycle must not cost a full batched Cholesky).
+        # Overflow beyond the capacity stays on its NS seed and simply
+        # keeps iterating next cycle.
+        cap = int(min(B, max(8, B // 32)))
+        _, idx = jax.lax.top_k(resid, cap)
+        Xr = _chol_inv(K[idx])
+        fix = bad[idx]
+        X = X.at[idx].set(jnp.where(fix[:, None, None], Xr, X[idx]))
+        return X
     return _chol_inv(K)
 
 
 def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,
-                alpha: float, n_iters: int, tile: int, interpret: bool):
+                alpha: float, n_iters: int, tile: int, interpret: bool,
+                K=None):
     dtype = jnp.float32
     B, n = q.shape
     m = l.shape[-1]
@@ -218,10 +246,9 @@ def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,
             [X, jnp.broadcast_to(X[:1], (pad,) + X.shape[1:])], axis=0)
         Kinv, P, q, l, u, rho_vec, sig_vec, xw, yw = map(
             padded, (Kinv, P, q, l, u, rho_vec, sig_vec, xw, yw))
+        if K is not None:
+            K = padded(K)
     Bp = B + pad
-
-    kernel = functools.partial(_admm_kernel, alpha=float(alpha),
-                               n_iters=int(n_iters))
     grid = (Bp // tile,)
 
     def spec3(d1, d2):
@@ -235,12 +262,26 @@ def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,
     shared = pl.BlockSpec((m, n), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
 
+    if K is not None:
+        def kernel(Kinv_ref, K_ref, *refs):
+            _admm_kernel(Kinv_ref, *refs, alpha=float(alpha),
+                         n_iters=int(n_iters), K_ref=K_ref)
+        in_specs = [spec3(n, n), spec3(n, n), spec3(n, n), shared,
+                    spec2(n), spec2(m), spec2(m),
+                    spec2(m), spec2(n), spec2(n), spec2(m)]
+        inputs = (Kinv, K, P, A, q, l, u, rho_vec, sig_vec, xw, yw)
+    else:
+        kernel = functools.partial(_admm_kernel, alpha=float(alpha),
+                                   n_iters=int(n_iters))
+        in_specs = [spec3(n, n), spec3(n, n), shared,
+                    spec2(n), spec2(m), spec2(m),
+                    spec2(m), spec2(n), spec2(n), spec2(m)]
+        inputs = (Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw)
+
     x_out, y_out, z_out, pri, dua, n1, n2 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec3(n, n), spec3(n, n), shared,
-                  spec2(n), spec2(m), spec2(m),
-                  spec2(m), spec2(n), spec2(n), spec2(m)],
+        in_specs=in_specs,
         out_specs=[spec2(n), spec2(m), spec2(m),
                    spec2(n), spec2(n), spec2(n), spec2(n)],
         out_shape=[jax.ShapeDtypeStruct((Bp, n), dtype),
@@ -253,7 +294,7 @@ def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw)
+    )(*inputs)
     sl = slice(0, B)
     return (x_out[sl], y_out[sl], z_out[sl],
             pri[sl, 0], dua[sl, 0], n1[sl, 0], n2[sl, 0])
@@ -262,7 +303,7 @@ def _run_kernel(Kinv, P, A, q, l, u, rho_vec, sig_vec, xw, yw,
 def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
           x0=None, y0=None, tile: int = 16, schedule=None,
           cone: qp.ConeStructure = None, precond=None, rho_init=None,
-          kinv_init=None, kinv_rho=None,
+          kinv_init=None, kinv_rho=None, refactor: str = "ns",
           interpret: bool = False) -> PallasQPResult:
     """Batched QP solve with the fused Pallas ADMM kernel.
 
@@ -280,6 +321,18 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
     diagonal preconditioner is algorithmically exact (termination is
     evaluated unscaled), so this trades nothing but conditioning slack.
     `rho_init` (B, 1) carries the adapted rho from a previous solve.
+
+    `refactor` controls how K^-1 is obtained when kinv_init is given:
+      "ns"    guarded Newton-Schulz refinement + Cholesky fallback;
+      "chol"  fresh batched Cholesky (robust; use after structural
+              changes such as a gait roll);
+      "stale" reuse kinv_init AS-IS as a preconditioner and run the
+              kernel with one iterative-refinement step per x-update
+              (the solve error is squared, so a slightly stale inverse
+              is exact to f32 — correctness is guaranteed either way by
+              the unscaled residual termination). Cheapest by far:
+              refactorization cost drops to zero; callers refactor
+              ("chol") every ~10 cycles or on structural change.
     """
     dtype = jnp.float32
     P = jnp.asarray(P, dtype)
@@ -328,16 +381,26 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
     for r, n_iters in enumerate(schedule):
         rho_vec = rho_to_vec(rho)
         with jax.default_matmul_precision("highest"):
-            seed_scale = None
-            if r == 0 and kinv_init is not None and kinv_rho is not None:
-                seed_scale = kinv_rho / rho
-            Kinv = _factor(P, A, rho_vec, sig_vec, cone,
-                           kinv_init=kinv_init if r == 0 else None,
-                           seed_scale=seed_scale)
+            K = _build_K(P, A, rho_vec, sig_vec, cone)
+            stale = (refactor == "stale" and r == 0
+                     and kinv_init is not None)
+            if stale:
+                Kinv = kinv_init
+                if kinv_rho is not None:
+                    Kinv = Kinv * (kinv_rho / rho)[:, :, None]
+            else:
+                seed_scale = None
+                use_seed = (refactor == "ns" and r == 0
+                            and kinv_init is not None)
+                if use_seed and kinv_rho is not None:
+                    seed_scale = kinv_rho / rho
+                Kinv = _factor(K, kinv_init=kinv_init if use_seed
+                               else None, seed_scale=seed_scale)
             kinv_at = rho
         x, y, z, pri, dua, n1, n2 = _run_kernel(
             Kinv, P, A, q, l, u, rho_vec, sig_vec, x, y,
-            s.alpha, n_iters, tile, interpret)
+            s.alpha, n_iters, tile, interpret,
+            K=K if stale else None)
         prev_conv = conv
         eps_p = s.eps_abs + s.eps_rel * n1
         eps_d = s.eps_abs + s.eps_rel * jnp.maximum(n2, nrm_q)

@@ -69,8 +69,10 @@ def test_pallas_structured_factor_matches_dense():
         jnp.float32)) + 0.05
     sig_vec = jnp.full((B, H.shape[1]), 1e-6, jnp.float32)
     cone = qp.ConeStructure(CFG.n_steps, CFG.mu)
-    Ki_dense = qp_pallas._factor(H, A, rho_vec, sig_vec, None)
-    Ki_cone = qp_pallas._factor(H, A, rho_vec, sig_vec, cone)
+    Ki_dense = qp_pallas._factor(
+        qp_pallas._build_K(H, A, rho_vec, sig_vec, None))
+    Ki_cone = qp_pallas._factor(
+        qp_pallas._build_K(H, A, rho_vec, sig_vec, cone))
     np.testing.assert_allclose(np.asarray(Ki_dense), np.asarray(Ki_cone),
                                atol=1e-5, rtol=1e-4)
 
@@ -89,6 +91,32 @@ def test_pallas_warm_start_carry():
                            interpret=True)
     assert bool(np.all(np.asarray(out2.converged)))
     assert int(np.max(np.asarray(out2.iters))) <= 100
+
+
+def test_pallas_stale_refactor_with_refinement():
+    """refactor='stale': the previous cycle's K^-1 reused verbatim as a
+    preconditioner with in-kernel iterative refinement. The contract is
+    SAFETY, not completeness: on these ill-conditioned KKT systems a
+    stale inverse may stall some problems (which is why 'ns' is the
+    production default), but the unscaled residual termination must
+    never mark a wrong solution converged — forces of converged problems
+    match the reference solver."""
+    H, qlin, A, l, u, xrefs, fsteps = _mpc_qps()
+    x_f, st, sol = mpc_mod.solve_mpc_batch_pallas(
+        CFG, xrefs, fsteps, settings=ST, tile=2, interpret=True)
+    xrefs2 = xrefs.at[:, :, 0].add(0.001)
+    x_f2, st2, sol2 = mpc_mod.solve_mpc_batch_pallas(
+        CFG, xrefs2, fsteps, state=st, settings=ST, tile=2,
+        refactor="stale", interpret=True)
+    conv = np.asarray(sol2.converged)
+    assert conv.any(), "stale path solved nothing"
+    ref = jax.vmap(lambda x, f: mpc_mod.solve_mpc(
+        CFG, x, f, settings=ST))(xrefs2, fsteps)
+    fz_p = np.asarray(x_f2)[conv][:, 14::3]
+    fz_r = np.asarray(ref.x_f_applied)[conv][:, 14::3]
+    # eps-1e-4-level agreement: low-curvature force directions may move
+    # a few percent of the ~12 N stance force between solvers
+    np.testing.assert_allclose(fz_p, fz_r, atol=0.6)
 
 
 def test_mpc_batch_pallas_matches_xla_mpc():
