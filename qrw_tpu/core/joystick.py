@@ -83,11 +83,52 @@ def v_ref_profile(k, vel_id: int, dtype=jnp.float64) -> jnp.ndarray:
     (Joystick.handle_v_switch + apply_velocity_change,
     scripts/Joystick.py:160-189)."""
     ks_np, v_np = profile_tables(vel_id)
+    return v_ref_from_tables(k, ks_np, v_np, dtype)
+
+
+def v_ref_multi_simu(k_loop, vx_ref, vy_ref, wyaw_ref, k_mpc: int,
+                     dtype=jnp.float64) -> jnp.ndarray:
+    """Multi-simulation ramp mode (scripts/Joystick.py:289-315): after a
+    48-MPC-cycle standstill, each commanded component ramps linearly to
+    its target at a slope set by the target magnitude (beta = max(|v| *
+    1e4, 100) ticks for x/y, |w| * 2500 for yaw), saturating at 1."""
+    k0 = k_mpc * 16 * 3
+    k_loop = jnp.asarray(k_loop, dtype)
+
+    def alpha(v, scale):
+        beta = jnp.maximum(jnp.abs(jnp.asarray(v, dtype)) * scale, 100.0)
+        return jnp.clip((k_loop - k0) / beta, 0.0, 1.0)
+
+    zero = jnp.zeros((), dtype)
+    return jnp.stack([alpha(vx_ref, 1e4) * vx_ref,
+                      alpha(vy_ref, 1e4) * vy_ref,
+                      zero, zero, zero,
+                      alpha(wyaw_ref, 2.5e3) * wyaw_ref])
+
+
+def analysis_tables(des_vel_analysis, n_analysis: int, n_steady: int):
+    """Keyframe tables for the speed-envelope analysis mode
+    (scripts/Joystick.py:317-326 update_for_analysis; used by the
+    crocoddyl_eval test_4 sweep): ramp 500 ticks after start to the
+    analysed 6-dof velocity, hold through n_analysis, stay steady for
+    n_steady more. Feed the result through the same cubic interpolation
+    as the velID profiles (see eval/speed_sweep)."""
+    des = np.asarray(des_vel_analysis, np.float64).reshape(6)
+    ks = np.array([0, 500, n_analysis, n_analysis + n_steady])
+    v = np.zeros((6, 4))
+    v[:, 2] = des
+    v[:, 3] = des
+    return ks, v
+
+
+def v_ref_from_tables(k, ks_np, v_np, dtype=jnp.float64) -> jnp.ndarray:
+    """Cubic keyframe interpolation over explicit tables — the same
+    handle_v_switch math as `v_ref_profile`, for caller-built tables
+    (analysis mode / custom scenarios)."""
     ks = jnp.asarray(ks_np)
     v = jnp.asarray(v_np, dtype)
     k = jnp.asarray(k)
     n = ks.shape[0]
-    # first i >= 1 with k_switch[i] > k; beyond the table: hold last value
     i = jnp.sum((ks <= k).astype(jnp.int32))
     i = jnp.clip(i, 1, n - 1)
     past_end = k >= ks[n - 1]

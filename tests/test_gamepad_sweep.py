@@ -71,3 +71,54 @@ def test_speed_sweep_small_grid():
     fig = plot_envelope(res, show=False)
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_multi_simu_ramp_profile():
+    """v_ref_multi_simu (scripts/Joystick.py:289-315): zero until
+    k = 48*k_mpc, linear ramp with |v|-scaled slope, saturation at the
+    target."""
+    from qrw_tpu.core.joystick import v_ref_multi_simu
+    k_mpc = 10
+    k0 = k_mpc * 16 * 3
+    vx, vy, wy = 0.5, -0.2, 0.4
+    v = np.asarray(v_ref_multi_simu(0, vx, vy, wy, k_mpc))
+    assert np.allclose(v, 0.0)
+    v = np.asarray(v_ref_multi_simu(k0, vx, vy, wy, k_mpc))
+    assert np.allclose(v, 0.0)
+    # halfway up the x ramp: beta_x = 0.5e4 ticks
+    v = np.asarray(v_ref_multi_simu(k0 + 2500, vx, vy, wy, k_mpc))
+    assert abs(v[0] - 0.25) < 1e-9
+    # yaw ramps faster (beta_w = 0.4*2500 = 1000)
+    assert abs(v[5] - wy) < 1e-9
+    # saturated far along
+    v = np.asarray(v_ref_multi_simu(k0 + 100000, vx, vy, wy, k_mpc))
+    assert np.allclose(v[[0, 1, 5]], [vx, vy, wy])
+    assert np.allclose(v[2:5], 0.0)
+
+
+def test_analysis_profile_tables():
+    """update_for_analysis keyframes (scripts/Joystick.py:317-326):
+    ramp to the analysed velocity by n_analysis, hold for n_steady."""
+    from qrw_tpu.core.joystick import analysis_tables, v_ref_from_tables
+    des = np.array([0.9, 0.0, 0.0, 0.0, 0.0, 0.3])
+    ks, vt = analysis_tables(des, 1500, 800)
+    assert list(ks) == [0, 500, 1500, 2300]
+    v = np.asarray(v_ref_from_tables(200, ks, vt))
+    assert np.allclose(v, 0.0)
+    v = np.asarray(v_ref_from_tables(1500, ks, vt))
+    assert np.allclose(v, des)
+    v = np.asarray(v_ref_from_tables(5000, ks, vt))
+    assert np.allclose(v, des)
+    # cubic transition is monotone here and hits the midpoint at mid-ramp
+    v = np.asarray(v_ref_from_tables(1000, ks, vt))
+    assert np.allclose(v, des * 0.5)
+
+
+def test_v_ref_profile_delegates_to_tables():
+    from qrw_tpu.core.joystick import (profile_tables, v_ref_from_tables,
+                                       v_ref_profile)
+    ks, vt = profile_tables(2)
+    for k in (0, 3500, 7000, 12000, 40000):
+        a = np.asarray(v_ref_profile(k, 2))
+        b = np.asarray(v_ref_from_tables(k, ks, vt))
+        assert np.allclose(a, b)
