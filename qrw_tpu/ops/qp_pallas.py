@@ -326,13 +326,16 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
       "ns"    guarded Newton-Schulz refinement + Cholesky fallback;
       "chol"  fresh batched Cholesky (robust; use after structural
               changes such as a gait roll);
-      "stale" reuse kinv_init AS-IS as a preconditioner and run the
-              kernel with one iterative-refinement step per x-update
+      "stale" reuse kinv_init (rho-rescaled) as a preconditioner and run
+              the kernel with one iterative-refinement step per x-update
               (the solve error is squared, so a slightly stale inverse
               is exact to f32 — correctness is guaranteed either way by
-              the unscaled residual termination). Cheapest by far:
-              refactorization cost drops to zero; callers refactor
-              ("chol") every ~10 cycles or on structural change.
+              the unscaled residual termination). Cheapest: factor work
+              is one guard matmul — the seed still passes _factor's
+              residual check so problems whose K moved structurally
+              (gait roll) take the fixed-capacity Cholesky rescue
+              instead of diverging; callers should still refactor
+              ("chol"/"ns") every ~10 cycles for best convergence.
     """
     dtype = jnp.float32
     P = jnp.asarray(P, dtype)
@@ -367,8 +370,12 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
         rho_class = qp.rho_vec_for_bounds(Escaled_l, Escaled_u, rho)
         return rho_class * EE_over_c
 
-    x = jnp.zeros_like(q) if x0 is None else jnp.asarray(x0, dtype)
-    y = jnp.zeros_like(l) if y0 is None else jnp.asarray(y0, dtype)
+    # Non-finite warm starts (a diverged previous cycle) reset to cold
+    # zeros instead of propagating NaN through every later solve.
+    x = (jnp.zeros_like(q) if x0 is None
+         else jnp.where(jnp.isfinite(x0), x0, 0.0).astype(dtype))
+    y = (jnp.zeros_like(l) if y0 is None
+         else jnp.where(jnp.isfinite(y0), y0, 0.0).astype(dtype))
     rho = (jnp.full((B, 1), s.rho, dtype) if rho_init is None
            else jnp.asarray(rho_init, dtype))
     nrm_q = jnp.max(jnp.abs(q), axis=1)
@@ -385,9 +392,17 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
             stale = (refactor == "stale" and r == 0
                      and kinv_init is not None)
             if stale:
-                Kinv = kinv_init
-                if kinv_rho is not None:
-                    Kinv = Kinv * (kinv_rho / rho)[:, :, None]
+                # Guarded stale reuse: zero Newton-Schulz iterations
+                # still runs _factor's residual check + fixed-capacity
+                # Cholesky rescue (one K@X matmul). Without the guard a
+                # structural change between calls (gait roll flips
+                # equality rows ~1e9x in rho) leaves an invalid inverse
+                # whose in-kernel refinement diverges to NaN and poisons
+                # every later warm-started cycle.
+                scale = ((kinv_rho / rho) if kinv_rho is not None
+                         else None)
+                Kinv = _factor(K, kinv_init=kinv_init, ns_iters=0,
+                               seed_scale=scale)
             else:
                 seed_scale = None
                 use_seed = (refactor == "ns" and r == 0

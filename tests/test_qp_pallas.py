@@ -148,3 +148,35 @@ def test_mpc_batch_pallas_matches_xla_mpc():
         interpret=True)
     assert bool(np.all(np.asarray(sol2.converged)))
     assert int(np.max(np.asarray(sol2.iters))) <= 100
+
+
+def test_pallas_warm_chain_batch1_rolled_stance_stays_finite():
+    """Regression: the 50 Hz controller cadence — a batch-of-1 warm
+    chain where the stance pattern ROLLS one MPC step every cycle
+    (equality rows flip ~1e9x in rho, invalidating the carried K^-1).
+    The guarded stale/ns rescue must keep every cycle finite and
+    converging; before the guard, cycle 2 diverged to NaN and poisoned
+    the rest of the chain (found by eval/parity_320)."""
+    rng = np.random.default_rng(3)
+    import bench
+    C = 6
+    xrefs_np, fsteps_np = bench.build_batch(CFG, C, rng)  # distinct rolls
+    st = None
+    convs = []
+    for i in range(C):
+        x = jnp.asarray(xrefs_np[i:i + 1], jnp.float32)
+        f = jnp.asarray(fsteps_np[i:i + 1], jnp.float32)
+        if st is None:
+            x_f, st, sol = mpc_mod.solve_mpc_batch_pallas(
+                CFG, x, f, settings=ST, tile=8, interpret=True)
+        else:
+            x_f, st, sol = mpc_mod.solve_mpc_batch_pallas(
+                CFG, x, f, state=st, settings=ST, schedule=[100],
+                tile=8, interpret=True)
+        assert np.all(np.isfinite(np.asarray(x_f))), f"NaN at cycle {i}"
+        assert np.all(np.isfinite(np.asarray(st.kinv))), f"kinv NaN @{i}"
+        convs.append(bool(np.asarray(sol.converged)[0]))
+    # cold cycle converges; the warm chain must keep converging even
+    # though every cycle's stance pattern differs from the carry
+    assert convs[0]
+    assert sum(convs) >= C - 1, convs
