@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--warm-iters", type=int, default=50)
+    ap.add_argument("--tile", type=int, default=None,
+                    help="pallas kernel tile (problems per grid step)")
+    ap.add_argument("--refactor", default="ns",
+                    choices=["ns", "chol", "stale"],
+                    help="warm K^-1 policy for the steady-state loop")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +86,7 @@ def main():
     batch = args.batch or (32 if args.smoke else 4096)
     reps = args.reps or (2 if args.smoke else 10)
     interpret = bool(args.smoke)
-    tile = 4 if args.smoke else 16
+    tile = args.tile or (4 if args.smoke else 16)
     rng = np.random.default_rng(0)
     xrefs_np, fsteps_np = build_batch(cfg, batch, rng)
     xrefs = jnp.asarray(xrefs_np)
@@ -99,7 +104,7 @@ def main():
     # fixed-capacity Cholesky rescue of straggler seeds (ops/qp_pallas
     # refactor="ns", the production per-cycle policy)
     warm = jax.jit(lambda x, f, st: mpc_mod.solve_mpc_batch_pallas(
-        cfg, x, f, state=st, settings=settings, refactor="ns",
+        cfg, x, f, state=st, settings=settings, refactor=args.refactor,
         schedule=[args.warm_iters], tile=tile, interpret=interpret))
 
     # NOTE: through the remote-TPU tunnel, block_until_ready can return
@@ -167,7 +172,15 @@ def main():
     m_v = 32 * cfg.n_steps
     it = float(args.warm_iters)
     fl_kernel = it * (2 * 2 * m_v * n_v + 2 * n_v * n_v + 12 * (n_v + m_v))
-    fl_factor = (6 + 1) * 2 * n_v ** 3 + (1 / 3 + 2) * n_v ** 3
+    if args.refactor == "stale":
+        # guard matmul + rescue Cholesky amortized over its capacity
+        # fraction + the in-kernel iterative-refinement matvecs
+        fl_factor = 2 * n_v ** 3 + (1 / 32) * (1 / 3 + 2) * n_v ** 3
+        fl_kernel += it * 2 * 2 * n_v * n_v
+    elif args.refactor == "chol":
+        fl_factor = (1 / 3 + 2) * n_v ** 3
+    else:  # ns
+        fl_factor = (6 + 1) * 2 * n_v ** 3 + (1 / 3 + 2) * n_v ** 3
     fl_build = 4 * cfg.n_steps ** 2 * 864
     fl_total = fl_kernel + fl_factor + fl_build
     by_total = (2 * 4 * n_v * n_v) + 6 * 4 * n_v * n_v

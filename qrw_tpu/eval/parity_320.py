@@ -80,25 +80,35 @@ def solve_pallas_seq(cfg, xrefs, fsteps, interpret: bool):
     settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=450,
                              adaptive_rho_interval=200)
     tile = 8
-    cold = jax.jit(lambda x, f: mpc_mod.solve_mpc_batch_pallas(
-        cfg, x, f, settings=settings, tile=tile, interpret=interpret))
-    warm = jax.jit(lambda x, f, st: mpc_mod.solve_mpc_batch_pallas(
-        cfg, x, f, state=st, settings=settings, schedule=[100],
-        tile=tile, interpret=interpret))
     C = xrefs.shape[0]
-    out = np.zeros((C, 12 * cfg.n_steps), np.float64)
-    conv = np.zeros(C, bool)
-    st = None
-    for i in range(C):
-        x = jnp.asarray(xrefs[i:i + 1], jnp.float32)
-        f = jnp.asarray(fsteps[i:i + 1], jnp.float32)
-        if st is None:
-            _, st, sol = cold(x, f)
-        else:
-            _, st, sol = warm(x, f, st)
-        out[i] = np.asarray(sol.x[0], np.float64)
-        conv[i] = bool(np.asarray(sol.converged[0]))
-    return out, conv
+    xs = jnp.asarray(xrefs, jnp.float32)
+    fs = jnp.asarray(fsteps, jnp.float32)
+
+    # The whole 320-cycle warm chain runs as ONE jitted lax.scan (cold
+    # first cycle, then warm carries) — a single dispatch and a single
+    # device->host fetch instead of 2 reads x C cycles through the
+    # remote-TPU tunnel (sequential host dispatches proved flaky there).
+    def chain(xs, fs):
+        _, st0, sol0 = mpc_mod.solve_mpc_batch_pallas(
+            cfg, xs[0:1], fs[0:1], settings=settings, tile=tile,
+            interpret=interpret)
+
+        def body(st, xf):
+            x, f = xf
+            _, st2, sol = mpc_mod.solve_mpc_batch_pallas(
+                cfg, x[None], f[None], state=st, settings=settings,
+                schedule=[100], tile=tile, interpret=interpret)
+            return st2, (sol.x[0], sol.converged[0])
+
+        _, (x_rest, conv_rest) = jax.lax.scan(body, st0,
+                                              (xs[1:], fs[1:]))
+        x_all = jnp.concatenate([sol0.x, x_rest], axis=0)
+        conv_all = jnp.concatenate([sol0.converged, conv_rest], axis=0)
+        return x_all, conv_all
+
+    x_all, conv_all = jax.jit(chain)(xs, fs)
+    return (np.asarray(x_all, np.float64),
+            np.asarray(conv_all, bool).reshape(C))
 
 
 def solve_xla64_seq(cfg, xrefs, fsteps):

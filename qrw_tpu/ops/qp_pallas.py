@@ -334,8 +334,13 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
               is one guard matmul — the seed still passes _factor's
               residual check so problems whose K moved structurally
               (gait roll) take the fixed-capacity Cholesky rescue
-              instead of diverging; callers should still refactor
-              ("chol"/"ns") every ~10 cycles for best convergence.
+              instead of diverging. NOTE ||I - K X|| is a necessary but
+              not sufficient seed metric on these kappa~1e7 systems: a
+              passing seed can still carry ~0.5% inverse error, and the
+              refinement noise floor then stalls a fraction of chained
+              problems just above eps=1e-4 (measured conv ~0.65-0.94
+              over 4 chained cycles vs 1.0 for "ns"). Use for cheap
+              safety-net cycles only; "ns" is the production policy.
     """
     dtype = jnp.float32
     P = jnp.asarray(P, dtype)
