@@ -65,7 +65,15 @@ def main():
                     help="pallas kernel tile (problems per grid step)")
     ap.add_argument("--refactor", default="ns",
                     choices=["ns", "chol", "stale"],
-                    help="warm K^-1 policy for the steady-state loop")
+                    help="warm K^-1 policy for the full-size path")
+    ap.add_argument("--mode", default="reduced",
+                    choices=["reduced", "full"],
+                    help="reduced = support-reduced QP (swing forces "
+                         "eliminated, fresh Cholesky per cycle); full = "
+                         "round-2 full-size path")
+    ap.add_argument("--cap", type=int, default=32,
+                    help="stance-pair capacity of the reduced path "
+                         "(2N for trot)")
     args = ap.parse_args()
 
     import jax
@@ -96,16 +104,40 @@ def main():
     # path is exercised by tests/test_mpc.py on CPU).
     from qrw_tpu.ops import qp
     settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=450,
-                             adaptive_rho_interval=200)
+                             adaptive_rho_interval=200, scaling_iters=4)
 
-    cold = jax.jit(lambda x, f: mpc_mod.solve_mpc_batch_pallas(
-        cfg, x, f, settings=settings, tile=tile, interpret=interpret))
-    # steady-state warm path: Newton-Schulz warm refactorization with the
-    # fixed-capacity Cholesky rescue of straggler seeds (ops/qp_pallas
-    # refactor="ns", the production per-cycle policy)
-    warm = jax.jit(lambda x, f, st: mpc_mod.solve_mpc_batch_pallas(
-        cfg, x, f, state=st, settings=settings, refactor=args.refactor,
-        schedule=[args.warm_iters], tile=tile, interpret=interpret))
+    if args.mode == "reduced":
+        # Production path: support-reduced QP (swing-force variables
+        # eliminated — core/mpc.py support_indices). Small enough that
+        # every cycle runs Ruiz + a fresh batched Cholesky: no
+        # refactorization policies, no factorization carry.
+        tile = args.tile or (4 if args.smoke else 64)
+
+        def cold_fn(x, f):
+            xf, st, sol, ok = mpc_mod.solve_mpc_batch_reduced(
+                cfg, x, f, settings=settings, tile=tile, cap=args.cap,
+                interpret=interpret)
+            return xf, st, sol
+
+        def warm_fn(x, f, st):
+            xf, st2, sol, ok = mpc_mod.solve_mpc_batch_reduced(
+                cfg, x, f, state=st, settings=settings,
+                schedule=[args.warm_iters], tile=tile, cap=args.cap,
+                interpret=interpret)
+            return xf, st2, sol
+
+        cold = jax.jit(cold_fn)
+        warm = jax.jit(warm_fn)
+    else:
+        cold = jax.jit(lambda x, f: mpc_mod.solve_mpc_batch_pallas(
+            cfg, x, f, settings=settings, tile=tile, interpret=interpret))
+        # steady-state warm path: Newton-Schulz warm refactorization with
+        # the fixed-capacity Cholesky rescue of straggler seeds
+        # (ops/qp_pallas refactor="ns")
+        warm = jax.jit(lambda x, f, st: mpc_mod.solve_mpc_batch_pallas(
+            cfg, x, f, state=st, settings=settings,
+            refactor=args.refactor, schedule=[args.warm_iters],
+            tile=tile, interpret=interpret))
 
     # NOTE: through the remote-TPU tunnel, block_until_ready can return
     # before execution finishes — fetching a scalar is the only reliable
@@ -131,8 +163,10 @@ def main():
                                           jnp.float32) * 0.002)
     x_cur = xrefs
     x_cur = x_cur.at[:, :, 0].add(perturbs[-1])
+    t0 = time.perf_counter()
     _, st, sol = warm(x_cur, fsteps, st)     # compile warm path
     sync(sol)
+    t_warm_compile = time.perf_counter() - t0
 
     convs = []
     t0 = time.perf_counter()
@@ -150,12 +184,16 @@ def main():
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+        "mode": args.mode,
         "warm_conv": round(conv, 4),
         "cold_solves_per_s": round(batch / t_cold, 1),
         "cold_conv": round(conv_cold, 4),
+        "cold_compile_s": round(t_compile, 1),
+        "warm_compile_s": round(t_warm_compile, 1),
     }
     print(f"cold: {batch / t_cold:.0f} solves/s (conv {conv_cold:.3f}, "
-          f"compile {t_compile:.0f}s); warm conv {conv:.3f}",
+          f"compile {t_compile:.0f}s cold / {t_warm_compile:.0f}s warm); "
+          f"warm conv {conv:.3f}",
           file=sys.stderr)
 
     # ---- speed-of-light analysis (BASELINE.md: "rollout + QP kernel
@@ -168,22 +206,39 @@ def main():
     #   QP build: two (N,6,12)x(N,6,12) einsums ~ 4*N^2*864.
     # Bytes: K^-1 + P resident reads (2 * 4n^2) per kernel call + ~6 n^2
     # traffic in the factor matmuls.
-    n_v = 12 * cfg.n_steps
-    m_v = 32 * cfg.n_steps
     it = float(args.warm_iters)
-    fl_kernel = it * (2 * 2 * m_v * n_v + 2 * n_v * n_v + 12 * (n_v + m_v))
-    if args.refactor == "stale":
-        # guard matmul + rescue Cholesky amortized over its capacity
-        # fraction + the in-kernel iterative-refinement matvecs
-        fl_factor = 2 * n_v ** 3 + (1 / 32) * (1 / 3 + 2) * n_v ** 3
-        fl_kernel += it * 2 * 2 * n_v * n_v
-    elif args.refactor == "chol":
+    if args.mode == "reduced":
+        n_v = 3 * args.cap
+        m_v = 5 * args.cap
+        fl_kernel = it * (2 * 2 * m_v * n_v + 2 * n_v * n_v
+                          + 12 * (n_v + m_v))
+        # fresh Cholesky inverse every cycle (factor + n triangular
+        # solves), Ruiz re-run every call, structured H_r build
         fl_factor = (1 / 3 + 2) * n_v ** 3
-    else:  # ns
-        fl_factor = (6 + 1) * 2 * n_v ** 3 + (1 / 3 + 2) * n_v ** 3
-    fl_build = 4 * cfg.n_steps ** 2 * 864
-    fl_total = fl_kernel + fl_factor + fl_build
-    by_total = (2 * 4 * n_v * n_v) + 6 * 4 * n_v * n_v
+        fl_ruiz = settings.scaling_iters * 4 * (n_v * n_v + m_v * n_v)
+        fl_build = 2 * 2 * args.cap ** 2 * 9 * 6
+        fl_total = fl_kernel + fl_factor + fl_ruiz + fl_build
+        # K^-1 + P resident reads per kernel call; chol working set ~4x
+        by_total = (2 * 4 * n_v * n_v) + 4 * 4 * n_v * n_v
+    else:
+        n_v = 12 * cfg.n_steps
+        m_v = 32 * cfg.n_steps
+        fl_kernel = it * (2 * 2 * m_v * n_v + 2 * n_v * n_v
+                          + 12 * (n_v + m_v))
+        if args.refactor == "stale":
+            # guard matmul + rescue Cholesky amortized over its ACTUAL
+            # capacity fraction max(8, B//32)/B + the in-kernel
+            # iterative-refinement matvecs
+            cap_frac = max(8, batch // 32) / batch
+            fl_factor = 2 * n_v ** 3 + cap_frac * (1 / 3 + 2) * n_v ** 3
+            fl_kernel += it * 2 * 2 * n_v * n_v
+        elif args.refactor == "chol":
+            fl_factor = (1 / 3 + 2) * n_v ** 3
+        else:  # ns
+            fl_factor = (6 + 1) * 2 * n_v ** 3 + (1 / 3 + 2) * n_v ** 3
+        fl_build = 4 * cfg.n_steps ** 2 * 864
+        fl_total = fl_kernel + fl_factor + fl_build
+        by_total = (2 * 4 * n_v * n_v) + 6 * 4 * n_v * n_v
     PEAK_F32 = 33e12     # v5e MXU at f32-accurate (HIGHEST) precision
     HBM_BW = 819e9       # v5e HBM bandwidth [B/s]
     sol_compute = PEAK_F32 / fl_total
@@ -196,15 +251,18 @@ def main():
         "ceiling_solves_per_s_hbm": round(sol_hbm),
         "bound": "compute" if sol_compute < sol_hbm else "hbm",
         "achieved_fraction": round(solves_per_s / sol_bound, 4),
-        "limiter": "MXU row utilization: the in-kernel A-matmuls are "
-                   f"(tile={16 if not args.smoke else 4}, m)x(m, n) — "
-                   "tile rows on a 128-row systolic array — plus the "
-                   "sequential per-iteration dependency chain. Known "
-                   "headroom: the condensed (dense) formulation trades "
-                   "the original problem's block-tridiagonal KKT "
-                   "structure for density; a Riccati-style banded "
-                   "factorization would cut the n^3 factor work ~256x "
-                   "at the cost of sequential-in-N recursions",
+        "limiter": (
+            "sequential ADMM dependency chain of small per-tile matmuls "
+            f"((tile={tile}, m)x(m, n) rows on a 128-row MXU) plus the "
+            "per-cycle batched Cholesky; support reduction already "
+            "removed the swing variables and the n^3 NS refactor tax"
+            if args.mode == "reduced" else
+            "MXU row utilization: the in-kernel A-matmuls are "
+            f"(tile={tile}, m)x(m, n) — tile rows on a 128-row systolic "
+            "array — plus the sequential per-iteration dependency "
+            "chain. Known headroom: the condensed (dense) formulation "
+            "trades the original problem's block-tridiagonal KKT "
+            "structure for density (see --mode reduced)"),
     }
     print(f"speed-of-light: {fl_total / 1e6:.0f} MFLOP/solve -> compute "
           f"ceiling {sol_compute / 1e3:.0f}k, HBM ceiling "
@@ -287,7 +345,32 @@ def main():
 
         w50, w99 = clock(ks_wbc)
         f50, f99 = clock(ks_full)
-        mpc_ms = max(0.0, (f50 - w50) * k_mpc)  # cost of one 50 Hz solve
+
+        # Direct in-graph MPC solve timing: scan the controller's own
+        # solver (mpc_mod.solve_mpc at ctl.mpc_settings, the lax.cond
+        # body) warm-chained over C cycles in ONE dispatch — not the
+        # clamped full-minus-wbc subtraction (which measured negative:
+        # scan fusion makes the cadence difference unresolvable).
+        C_mpc = 10 if args.smoke else 50
+        xref1 = jnp.asarray(xrefs_np[0], jnp.float32)
+        fst1 = jnp.asarray(fsteps_np[0], jnp.float32)
+
+        def mpc_chain(x, f):
+            def body(st, _):
+                res = mpc_mod.solve_mpc(cfg, x, f, st, ctl.mpc_settings)
+                return res.state, res.iters
+            st, its = jax.lax.scan(body, mpc_mod.init_mpc_state(cfg),
+                                   None, length=C_mpc)
+            return its
+
+        mpc_j = jax.jit(mpc_chain)
+        float(jnp.sum(mpc_j(xref1, fst1)).astype(jnp.float32))
+        ts_m = []
+        for _ in range(max(3, n_windows // 3)):
+            t0 = time.perf_counter()
+            float(jnp.sum(mpc_j(xref1, fst1)).astype(jnp.float32))
+            ts_m.append((time.perf_counter() - t0) / C_mpc * 1e3)
+        mpc_ms = float(np.percentile(np.asarray(ts_m), 50))
         ok = "PASS" if w99 <= 2.0 else "FAIL"
         ok_mpc = "PASS" if mpc_ms <= 20.0 else "FAIL"
         report["tick_latency_ms_p50_ctrl"] = round(float(w50), 4)
@@ -297,8 +380,9 @@ def main():
         report["mpc_budget_ms"] = 20.0
         print(f"controller tick (est+planners+WBC, in-graph): p50 "
               f"{w50:.3f} p99 {w99:.3f} ms (budget 2 ms -> {ok}); "
-              f"full cadence p50 {f50:.3f} ms; MPC solve "
-              f"{mpc_ms:.2f} ms (budget 20 ms -> {ok_mpc})",
+              f"full cadence p50 {f50:.3f} ms; MPC solve (direct "
+              f"warm-chained scan) {mpc_ms:.2f} ms "
+              f"(budget 20 ms -> {ok_mpc})",
               file=sys.stderr)
 
         # controller+sim (informational)

@@ -96,7 +96,10 @@ def v_ref_multi_simu(k_loop, vx_ref, vy_ref, wyaw_ref, k_mpc: int,
     k_loop = jnp.asarray(k_loop, dtype)
 
     def alpha(v, scale):
-        beta = jnp.maximum(jnp.abs(jnp.asarray(v, dtype)) * scale, 100.0)
+        # the reference truncates: beta = int(max(|v|*scale, 100.0))
+        # (scripts/Joystick.py update_v_ref_multi_simu)
+        beta = jnp.floor(
+            jnp.maximum(jnp.abs(jnp.asarray(v, dtype)) * scale, 100.0))
         return jnp.clip((k_loop - k0) / beta, 0.0, 1.0)
 
     zero = jnp.zeros((), dtype)

@@ -297,6 +297,183 @@ def solve_mpc(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
                      iters=sol.iters, converged=sol.converged)
 
 
+# ----------------------------------------------------------------------
+# Support-reduced path: eliminate swing-foot force variables
+# ----------------------------------------------------------------------
+
+def support_indices(stance_flat: jnp.ndarray, cap: int):
+    """Select up to `cap` stance (step, foot) pairs from the flattened
+    (4N,) stance mask (step-major). Returns (idx (cap,), valid (cap,)).
+
+    The condensed QP pins every swing-foot force to exactly zero via
+    l = u = 0 activation rows (the S_gait mechanism, src/MPC.cpp:293-297)
+    — an equality the optimum must satisfy, so deleting those variables
+    (and the then-vacuous stance activation rows) is an exact reduction:
+    for a trot it shrinks the QP from (n=192, m=512) to (n=96, m=160)
+    and leaves a constraint matrix with NO equality rows (uniform OSQP
+    rho class, ~1e3 better conditioning). Stable argsort keeps stance
+    pairs in (step, foot) order; when fewer than cap pairs are in stance
+    the tail indices point at swing pairs and are masked by `valid`."""
+    order = jnp.argsort(jnp.where(stance_flat, 0, 1), stable=True)
+    idx = order[:cap]
+    return idx, stance_flat[idx]
+
+
+def build_qp_reduced(cfg: Config, xref: jnp.ndarray, fsteps: jnp.ndarray,
+                     cap: int):
+    """Support-reduced condensed QP, built directly at the stance pairs
+    (never materializing the (12N)^2 H): H_r (3cap, 3cap), q_r (3cap),
+    plus (Bl, h, idx, valid) to scatter back / recover states.
+    Identical to gathering build_qp_compact's output at the stance
+    variables (tests/test_mpc.py asserts this)."""
+    import jax
+    with jax.default_matmul_precision("highest"):
+        N = cfg.n_steps
+        dt = cfg.dt_mpc
+        dtype = xref.dtype
+        Bl, hblk, _, _, mask, p = _assemble_common(cfg, xref, fsteps)
+        gait = gait_from_fsteps(fsteps, N)                  # (N, 4)
+        idx, valid = support_indices(gait.reshape(4 * N) > 0, cap)
+        step = idx // 4
+        foot = idx % 4
+        # per-pair force-input blocks: columns of Bl for this foot
+        BlS = Bl[step].reshape(cap, 6, 4, 3)[
+            jnp.arange(cap), :, foot, :]                    # (cap, 6, 3)
+
+        w = jnp.asarray(cfg.w_state, dtype)
+        wtop, wbot = w[0:6], w[6:12]
+        S0, S2 = _h_coeffs(N)
+        S0g = jnp.asarray(S0, dtype)[step][:, step]         # (cap, cap)
+        S2g = jnp.asarray(S2, dtype)[step][:, step]
+        M1 = jnp.einsum("sai,a,tak->stik", BlS, wtop, BlS)  # (cap,cap,3,3)
+        M2 = jnp.einsum("sai,a,tak->stik", BlS, wbot, BlS)
+        Hblk = (dt * dt) * S2g[:, :, None, None] * M1 \
+            + S0g[:, :, None, None] * M2
+        H_r = Hblk.transpose(0, 2, 1, 3).reshape(3 * cap, 3 * cap)
+        vm3 = jnp.repeat(valid.astype(dtype), 3)            # (3cap,)
+        di = np.arange(3 * cap)
+        H_r = H_r * vm3[:, None] * vm3[None, :]
+        H_r = H_r.at[di, di].add(cfg.w_force * vm3 + (1.0 - vm3))
+
+        htop_w = wtop[None, :] * hblk[:, 0:6]               # (N, 6)
+        hbot_w = wbot[None, :] * hblk[:, 6:12]
+        pm = mask.T * p.T.astype(dtype)                     # (j, t): (t-j)+
+        g = (dt * (pm @ htop_w) + mask.T @ hbot_w)[step]    # (cap, 6)
+        q_r = jnp.einsum("sai,sa->si", BlS, g).reshape(3 * cap) * vm3
+    return H_r, q_r, Bl, hblk.reshape(12 * N), idx, valid
+
+
+class MPCWarmState(NamedTuple):
+    """Warm-start carry of the support-reduced batched MPC, in the FULL
+    (un-reduced) layout so it stays valid across stance-set changes:
+    forces (B, 12N), cone-row duals (B, 20N), adapted rho (B, 1). The
+    reduced path re-gathers at the current stance set every cycle; no
+    factorization state is carried — the reduced problem is small enough
+    to Cholesky-refactor every call (the whole NS/stale machinery of
+    MPCBatchState is unnecessary here)."""
+    f: jnp.ndarray
+    y: jnp.ndarray
+    rho: jnp.ndarray
+
+
+def init_warm_state(cfg: Config, batch: int,
+                    dtype=jnp.float32) -> MPCWarmState:
+    N = cfg.n_steps
+    return MPCWarmState(f=jnp.zeros((batch, 12 * N), dtype),
+                        y=jnp.zeros((batch, 20 * N), dtype),
+                        rho=jnp.full((batch, 1), 0.1, dtype))
+
+
+def shift_warm_state_reduced(state: MPCWarmState,
+                             n_steps: int) -> MPCWarmState:
+    """Advance the full-layout warm carry one MPC step (gait roll)."""
+    return state._replace(f=jnp.roll(state.f, -12, axis=1),
+                          y=jnp.roll(state.y, -20, axis=1))
+
+
+def solve_mpc_batch_reduced(cfg: Config, xrefs: jnp.ndarray,
+                            fsteps: jnp.ndarray,
+                            state: Optional[MPCWarmState] = None,
+                            settings: Optional["qp.QPSettings"] = None,
+                            schedule=None, tile: int = 64,
+                            shift: bool = False, cap: int = None,
+                            interpret: bool = False):
+    """Batched MPC solve on the SUPPORT-REDUCED QP (swing-force
+    variables eliminated — see support_indices) via the fused Pallas
+    ADMM kernel. The production throughput path.
+
+    xrefs (B, 12, N+1); fsteps (B, N_gait, 12). cap = stance-pair
+    capacity (static): 2N for a trot, 3N for a walk, 4N degenerates to
+    the full problem. Problems whose stance count exceeds cap are
+    flagged (sol_ok False) — route those to solve_mpc_batch_pallas.
+    Every call re-runs Ruiz and a fresh batched Cholesky (cheap at
+    n=3cap); the only carry is (f, y, rho) in full layout. shift=True
+    advances the carry one MPC step first (50 Hz rolling-gait cadence).
+    Returns (x_f_applied (B, 24, N), new_state, sol, ok (B,))."""
+    import jax
+    from qrw_tpu.ops import qp_pallas
+    N = cfg.n_steps
+    if cap is None:
+        cap = 2 * N
+    dtype = jnp.float32
+    if settings is None:
+        settings = qp.QPSettings(
+            sigma=cfg.osqp_sigma, alpha=cfg.osqp_alpha, rho=cfg.osqp_rho,
+            eps_abs=1e-4, eps_rel=1e-4, max_iter=cfg.mpc_max_iter,
+            adaptive_rho_interval=cfg.osqp_adaptive_rho_interval,
+            adaptive_rho_tolerance=cfg.osqp_adaptive_rho_tolerance)
+    H_r, q_r, Bl, h, idx, valid = jax.vmap(
+        lambda x, f: build_qp_reduced(cfg, x.astype(dtype),
+                                      f.astype(dtype), cap)
+    )(xrefs, fsteps)
+    B = H_r.shape[0]
+    vidx = (3 * idx[:, :, None]
+            + jnp.arange(3)[None, None, :]).reshape(B, 3 * cap)
+    ridx = (5 * idx[:, :, None]
+            + jnp.arange(5)[None, None, :]).reshape(B, 5 * cap)
+    vm3 = jnp.repeat(valid.astype(dtype), 3, axis=1)
+    rm5 = jnp.repeat(valid.astype(dtype), 5, axis=1)
+    gait = jax.vmap(lambda f: gait_from_fsteps(f, N))(fsteps)
+    ok = gait.reshape(B, -1).sum(axis=1) <= cap
+
+    cone = qp.ReducedConeStructure(cap, cfg.mu)
+    A_r = jnp.asarray(cone.matrix(), dtype)
+    l_r = jnp.broadcast_to(jnp.asarray(
+        np.tile([-np.inf, -np.inf, -np.inf, -np.inf, -cfg.fz_max], cap),
+        dtype), (B, 5 * cap))
+    u_r = jnp.zeros((B, 5 * cap), dtype)
+
+    kw = {}
+    if state is not None:
+        if shift:
+            state = shift_warm_state_reduced(state, N)
+        kw = dict(x0=jnp.take_along_axis(state.f, vidx, 1) * vm3,
+                  y0=jnp.take_along_axis(state.y, ridx, 1) * rm5,
+                  rho_init=state.rho)
+        if schedule is None:
+            schedule = [50]
+    sol = qp_pallas.solve(H_r, q_r, A_r, l_r, u_r, settings, tile=tile,
+                          schedule=schedule, cone=cone,
+                          interpret=interpret, **kw)
+
+    x_m = sol.x * vm3
+    zeros_f = jnp.zeros((B, 12 * N), dtype)
+    f_full = jax.vmap(lambda z, vi, xr: z.at[vi].set(xr))(
+        zeros_f, vidx, x_m)
+    zeros_y = jnp.zeros((B, 20 * N), dtype)
+    y_full = jax.vmap(lambda z, ri, yr: z.at[ri].set(yr))(
+        zeros_y, ridx, sol.y * rm5)
+
+    dx = jax.vmap(lambda b, x, hh: recover_dx(cfg, b, x, hh))(Bl, f_full,
+                                                              h)
+    states = (dx.reshape(B, N, 12).transpose(0, 2, 1)
+              + xrefs[:, :, 1:N + 1].astype(dtype))
+    forces = f_full.reshape(B, N, 12).transpose(0, 2, 1)
+    x_f = jnp.concatenate([states, forces], axis=1)          # (B, 24, N)
+    new_state = MPCWarmState(f=f_full, y=y_full, rho=sol.rho)
+    return x_f, new_state, sol, ok
+
+
 class MPCBatchState(NamedTuple):
     """Warm-start carry of the batched Pallas MPC: previous primal/dual,
     adapted rho, the reusable Ruiz preconditioner, and the last K^-1

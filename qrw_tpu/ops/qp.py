@@ -70,6 +70,43 @@ class ConeStructure(NamedTuple):
         ])
 
 
+class ReducedConeStructure(NamedTuple):
+    """Static description of the SUPPORT-REDUCED cone constraint matrix
+    A = I_blocks (x) C: one 5x3 friction block per retained stance
+    (step, foot) pair and NOTHING else. The reduction (core/mpc.py
+    support_indices) eliminates every swing-foot force variable (their
+    activation rows pin them to exactly zero — an equality the optimum
+    must satisfy, so elimination is exact) and drops the stance
+    activation rows (l=-inf, u=+inf: vacuous). What remains has no
+    equality rows at all, so the OSQP rho classes collapse to a single
+    uniform rho — conditioning improves by the 1e3 equality-scale factor
+    and every row of A is a friction row."""
+    n_blocks: int
+    mu: float
+
+    @property
+    def n(self) -> int:
+        return 3 * self.n_blocks
+
+    @property
+    def m(self) -> int:
+        return 5 * self.n_blocks
+
+    def cone_rows(self) -> np.ndarray:
+        """(5, 3) block C (src/MPC.cpp:135-146)."""
+        return np.array([
+            [1.0, 0.0, -self.mu],
+            [-1.0, 0.0, -self.mu],
+            [0.0, 1.0, -self.mu],
+            [0.0, -1.0, -self.mu],
+            [0.0, 0.0, -1.0],
+        ])
+
+    def matrix(self) -> np.ndarray:
+        """(5B, 3B) dense A = I (x) C."""
+        return np.kron(np.eye(self.n_blocks), self.cone_rows())
+
+
 class QPSettings(NamedTuple):
     sigma: float = 1e-6
     alpha: float = 1.6

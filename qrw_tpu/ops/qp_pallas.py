@@ -151,15 +151,28 @@ class PallasQPResult(NamedTuple):
     kinv_rho: jnp.ndarray    # (B, 1) rho the last K^-1 was factored at
 
 
-def _build_K(P, A, rho_vec, sig_vec, cone: qp.ConeStructure = None):
+def _build_K(P, A, rho_vec, sig_vec, cone=None):
     """K = P + diag(sig) + A' diag(rho) A.
 
     With the MPC cone structure, A = [F; I] where F is block-diagonal
     with 5x3 blocks per (step, foot): A'RA collapses to 64 3x3 blocks
-    plus the identity-row diagonal — no (B, m, n) einsum."""
+    plus the identity-row diagonal — no (B, m, n) einsum. With the
+    support-reduced cone (qp.ReducedConeStructure) A = I (x) C: the same
+    block collapse with no identity rows at all."""
     n = P.shape[-1]
     ii = np.arange(n)
-    if cone is not None:
+    if isinstance(cone, qp.ReducedConeStructure):
+        nb = cone.n_blocks
+        C5 = jnp.asarray(cone.cone_rows(), P.dtype)          # (5, 3)
+        rc = rho_vec.reshape(-1, nb, 5)
+        blocks = jnp.einsum("ca,bkc,cd->bkad", C5, rc, C5)   # (B,nb,3,3)
+        rows = (3 * np.repeat(np.arange(nb), 9)
+                + np.tile(np.repeat(np.arange(3), 3), nb))
+        cols = (3 * np.repeat(np.arange(nb), 9)
+                + np.tile(np.arange(3), 3 * nb))
+        K = P.at[:, rows, cols].add(blocks.reshape(P.shape[0], -1))
+        K = K.at[:, ii, ii].add(sig_vec)
+    elif cone is not None:
         mc = 20 * cone.n_steps
         nb = 4 * cone.n_steps
         C5 = jnp.asarray(cone.cone_rows(), P.dtype)          # (5, 3)

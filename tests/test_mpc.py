@@ -131,6 +131,78 @@ def test_condensed_qp_matches_interior_point_oracle():
     np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=2e-5)
 
 
+def test_reduced_build_matches_compact():
+    """The support-reduced QP build equals the compact build gathered at
+    the stance variables (the reduction is exact: swing forces are pinned
+    to zero by the l=u=0 activation rows)."""
+    xref = _xref()
+    xref[:, 0] = [0.01, -0.02, H0 + 0.01, 0.02, -0.01, 0.03,
+                  0.1, 0.05, -0.02, 0.2, -0.1, 0.15]
+    xref[6, 1:] = 0.4
+    fsteps = _fsteps_trot(5)
+    cap = 2 * CFG.n_steps
+    H, qlin, l, u, Bl, h = mpc.build_qp_compact(
+        CFG, jnp.asarray(xref, jnp.float32), jnp.asarray(fsteps,
+                                                         jnp.float32))
+    Hr, qr, Bl2, h2, idx, valid = mpc.build_qp_reduced(
+        CFG, jnp.asarray(xref, jnp.float32),
+        jnp.asarray(fsteps, jnp.float32), cap)
+    assert int(np.asarray(valid).sum()) == cap
+    vidx = (3 * np.asarray(idx)[:, None] + np.arange(3)).reshape(-1)
+    np.testing.assert_allclose(np.asarray(Hr),
+                               np.asarray(H)[vidx][:, vidx], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qr), np.asarray(qlin)[vidx],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h), atol=1e-6)
+
+
+def test_reduced_solve_matches_oracle_and_warm_chain():
+    """solve_mpc_batch_reduced (the production throughput path) matches
+    the f64 IPM oracle on the full problem, cold and across a warm
+    re-solve; swing forces in the scattered-back plan are exactly zero."""
+    xrefs = np.stack([_xref(), _xref([0.02, 0.01, H0, 0, 0, 0.1,
+                                      0.1, 0, 0, 0, 0, 0.2])])
+    xrefs[:, 6, 1:] = 0.3
+    fsteps = np.stack([_fsteps_trot(2), _fsteps_trot(9)])
+    # production controller tolerance (the f32 noise floor sits ~1e-5;
+    # eps 1e-6 is the f64 oracle regime, covered by build equivalence +
+    # eval/parity_320 on hardware)
+    settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=3000,
+                             adaptive_rho_interval=200)
+    x_f, st, sol, ok = mpc.solve_mpc_batch_reduced(
+        CFG, jnp.asarray(xrefs, jnp.float32),
+        jnp.asarray(fsteps, jnp.float32), settings=settings, tile=2,
+        interpret=True)
+    assert bool(np.asarray(ok).all())
+    assert bool(np.asarray(sol.converged).all())
+    A = mpc.cone_matrix(CFG.n_steps, CFG.mu)
+    for i in range(2):
+        H, qlin, l, u, _, _ = mpc.build_qp(CFG, jnp.asarray(xrefs[i]),
+                                           jnp.asarray(fsteps[i]))
+        f_star = solve_qp_oracle(np.asarray(H), np.asarray(qlin), A,
+                                 np.asarray(l), np.asarray(u))
+        np.testing.assert_allclose(np.asarray(st.f[i]), f_star, atol=0.05)
+        # swing forces exactly zero in the scattered-back plan
+        gait = np.asarray(fsteps[i][:CFG.n_steps, 0::3] != 0)
+        ff = np.asarray(st.f[i]).reshape(CFG.n_steps, 4, 3)
+        np.testing.assert_allclose(ff[~gait], 0.0, atol=0.0)
+    # warm re-solve on a perturbed problem stays at oracle accuracy
+    xrefs2 = xrefs.copy()
+    xrefs2[:, :, 0] += 0.002
+    x_f2, st2, sol2, ok2 = mpc.solve_mpc_batch_reduced(
+        CFG, jnp.asarray(xrefs2, jnp.float32),
+        jnp.asarray(fsteps, jnp.float32), state=st, settings=settings,
+        schedule=[400], tile=2, interpret=True)
+    assert bool(np.asarray(sol2.converged).all())
+    for i in range(2):
+        H, qlin, l, u, _, _ = mpc.build_qp(CFG, jnp.asarray(xrefs2[i]),
+                                           jnp.asarray(fsteps[i]))
+        f_star = solve_qp_oracle(np.asarray(H), np.asarray(qlin), A,
+                                 np.asarray(l), np.asarray(u))
+        np.testing.assert_allclose(np.asarray(st2.f[i]), f_star,
+                                   atol=0.05)
+
+
 def test_batched_solves_match_single():
     """vmap over scenarios reproduces per-scenario results."""
     xrefs = np.stack([_xref(), _xref([0.02, 0, H0, 0, 0, 0.1,
