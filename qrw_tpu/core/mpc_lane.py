@@ -1,0 +1,357 @@
+"""Lane-major (batch-on-lanes) MPC pipeline around ops/qp_phase.
+
+The production throughput path for scenario fleets. Everything here is
+the same physics as core/mpc.py (condensed centroidal MPC of
+src/MPC.cpp, support-reduced), re-laid-out so the batch dimension lives
+on the TPU lane axis: every per-problem quantity is a (..., B) array,
+every batched op is elementwise over lanes, and every contraction is
+against a SHARED constant matrix. vmap-of-small-ops (batch-major) runs
+at <1% of VPU/MXU peak on these shapes; this layout measures >20x
+faster end to end.
+
+The batch must be PHASE-SORTED: problems arranged as (P phases, C per
+phase), C a multiple of the kernel tile, every problem in a phase
+sharing the same stance support (e.g. the 16 gait offsets of a steady
+trot). The per-phase slot maps and shared proximal metrics come from
+build_phase_data.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qrw_tpu.config import Config
+from qrw_tpu.ops import qp, qp_phase
+
+f32 = jnp.float32
+
+
+# ----------------------------------------------------------------------
+# Lane-major problem assembly (same math as mpc._assemble_common)
+# ----------------------------------------------------------------------
+
+def _inv3(M):
+    """Closed-form inverse of (..., 3, 3, B) SPD blocks, elementwise."""
+    a, b, c = M[..., 0, 0, :], M[..., 0, 1, :], M[..., 0, 2, :]
+    d, e, f = M[..., 1, 0, :], M[..., 1, 1, :], M[..., 1, 2, :]
+    g, h, i = M[..., 2, 0, :], M[..., 2, 1, :], M[..., 2, 2, :]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    row0 = jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-2)
+    row1 = jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-2)
+    row2 = jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-2)
+    return jnp.stack([row0, row1, row2], axis=-3) * inv_det[..., None,
+                                                           None, :]
+
+
+def assemble_lane(cfg: Config, xrefs, fsteps):
+    """Per-step input blocks and free response, lane-major.
+
+    xrefs (12, N+1, B); fsteps (N_gait, 12, B). Returns
+    Bl (N, 6, 12, B), hblk (N, 12, B), gait (N, 4, B). Mirrors
+    mpc._assemble_common (src/MPC.cpp:213-232,424-461) with the batch
+    on lanes throughout.
+    """
+    N = cfg.n_steps
+    dt = cfg.dt_mpc
+    dtype = xrefs.dtype
+    B = xrefs.shape[-1]
+    gait = (fsteps[:N, 0::3, :] != 0.0).astype(dtype)      # (N, 4, B)
+    gI = np.asarray(cfg.gI, np.float64).reshape(3, 3).astype(np.float32)
+
+    yaw = xrefs[5, :N, :]                                   # (N, B)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    Rz = jnp.stack([jnp.stack([c, -s, z], 1),
+                    jnp.stack([s, c, z], 1),
+                    jnp.stack([z, z, o], 1)], 1)            # (N, 3, 3, B)
+    # (Rz' gI Rz)^-1 = Rz' gI^-1 Rz (Rz orthogonal): no batched 3x3
+    # inverse needed at all
+    gI_inv = np.linalg.inv(np.asarray(cfg.gI, np.float64)
+                           .reshape(3, 3)).astype(np.float32)
+    I_inv = jnp.einsum("nijb,ik,nklb->njlb", Rz, gI_inv, Rz)
+
+    feet = fsteps[:N].reshape(N, 4, 3, B)
+    com = xrefs[0:3, :N, :].transpose(1, 0, 2) + jnp.asarray(
+        [0.0, 0.0, cfg.offset_com_z], dtype)[None, :, None]  # (N, 3, B)
+    lever = feet - com[:, None, :, :]                       # (N, 4, 3, B)
+    lx, ly, lz = lever[:, :, 0], lever[:, :, 1], lever[:, :, 2]
+    zz = jnp.zeros_like(lx)
+    sk = jnp.stack([jnp.stack([zz, -lz, ly], 2),
+                    jnp.stack([lz, zz, -lx], 2),
+                    jnp.stack([-ly, lx, zz], 2)], 2)        # (N, 4, 3, 3, B)
+    tor = dt * jnp.einsum("naib,nfijb->nafjb", I_inv, sk)   # (N, 3, 4, 3, B)
+    tor = tor.reshape(N, 3, 12, B)
+    frc = (dt / cfg.mass) * np.tile(np.eye(3, dtype=np.float32)[:, None, :],
+                                    (1, 4, 1)).reshape(3, 12)
+    frc = jnp.broadcast_to(jnp.asarray(frc, dtype)[None, :, :, None],
+                           (N, 3, 12, B))
+    Bl = jnp.concatenate([frc, tor], axis=1)                # (N, 6, 12, B)
+
+    # free response hblk[k] = sum_{j<=k} A^(k-j) r_j (mpc._assemble_common)
+    gvec = np.zeros(12, np.float32)
+    gvec[8] = -cfg.gravity * dt
+    xj = xrefs[:, :N, :]                                    # (12, N, B)
+    Axj = xj.at[0:6].add(dt * xj[6:12])
+    r = (Axj + jnp.asarray(gvec, dtype)[:, None, None]
+         - xrefs[:, 1:N + 1, :]).transpose(1, 0, 2)         # (N, 12, B)
+    L, P2 = qp_phase.time_coupling(N)
+    rE = r[:, 6:12, :]                                      # E r_j
+    top = jnp.einsum("kj,jab->kab", L, r[:, 0:6, :]) \
+        + dt * jnp.einsum("kj,jab->kab", P2, rE)
+    bot = jnp.einsum("kj,jab->kab", L, rE)
+    hblk = jnp.concatenate([top, bot], axis=1)              # (N, 12, B)
+    return Bl, hblk, gait
+
+
+# ----------------------------------------------------------------------
+# Phase structure (host-built, static)
+# ----------------------------------------------------------------------
+
+class PhaseStructure(NamedTuple):
+    """Static per-phase slot maps + the solver data. P phases, cap
+    slots (stance capacity), all numpy except the solver inputs."""
+    data: qp_phase.PhaseQPData
+    onehot2: np.ndarray     # (P, cap, 4N) slot -> (step, foot) one-hot
+    supports: np.ndarray    # (P, 4N) bool stance masks
+    cap: int
+    c_scale: float
+
+
+def trot_phase_fsteps(cfg: Config, foothold=None) -> np.ndarray:
+    """(P=N, N_gait, 12) nominal trot footstep matrices, one per gait
+    offset (the bench/production steady-trot phase classes)."""
+    N = cfg.n_steps
+    half = N // 2
+    if foothold is None:
+        pair1 = np.array([0.195, 0.147, 0., 0., 0., 0.,
+                          0., 0., 0., -0.195, -0.147, 0.])
+        pair2 = np.array([0., 0., 0., 0.195, -0.147, 0.,
+                          -0.195, 0.147, 0., 0., 0., 0.])
+    else:
+        pair1, pair2 = foothold
+    out = np.zeros((N, cfg.N_gait, 12), np.float32)
+    for p in range(N):
+        for i in range(N):
+            out[p, i] = (pair1 if ((i + (half - p)) // half) % 2 == 0
+                         else pair2)
+    return out
+
+
+def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
+                     rho: float = 0.02, margin: float = 1.5,
+                     diag_margin: float = 0.0, sigma: float = 1e-6,
+                     alpha: float = 1.0, cap: int = None,
+                     nominal_vx: float = 0.5) -> PhaseStructure:
+    """Shared solver data for a set of support phases.
+
+    phase_fsteps (P, N_gait, 12): one nominal footstep matrix per phase
+    (feet positions used both for the support pattern and the nominal
+    metric H). The proximal metric
+        Kbar_p = margin*c*Hbar_p + diag_margin*c*I + sigma I + rho A'A
+    is inverted once in f64 on the host. The MULTIPLICATIVE margin
+    covers relative H deviations (yaw, lever scaling). diag_margin adds
+    ABSOLUTE slack for the near-null directions of G'WG (floor w_force
+    ~5e-5), where com shifts of a few cm can make the prox metric
+    indefinite and ~2% of random problems diverge (bounded by the
+    safeguard box, stale-plan fallback + cold-restart carry in
+    solve_mpc_batch_phase). It defaults to 0 because ANY diagonal slack
+    measurably slows the dual-residual tail (0.02 halves the converged
+    fraction at a 300-iteration budget); revisit only if the diverged
+    fraction matters more than throughput for a workload.
+    """
+    from qrw_tpu.core import mpc as mpc_mod
+
+    N = cfg.n_steps
+    P = phase_fsteps.shape[0]
+    if cap is None:
+        cap = 2 * N
+    n = 3 * cap
+
+    cone = qp.ReducedConeStructure(cap, cfg.mu)
+    A = cone.matrix().astype(np.float32)                    # (5cap, 3cap)
+    l = np.tile([-np.inf, -np.inf, -np.inf, -np.inf, -cfg.fz_max],
+                cap).astype(np.float32)
+    u = np.zeros(5 * cap, np.float32)
+    L, P2 = qp_phase.time_coupling(N)
+
+    onehot = np.zeros((P, N, cap), np.float32)
+    onehot2 = np.zeros((P, cap, 4 * N), np.float32)
+    supports = np.zeros((P, 4 * N), bool)
+    Kbar_inv = np.zeros((P, n, n), np.float32)
+
+    # nominal moving xref for the metric + the shared cost scaling
+    xr0 = np.zeros((12, N + 1), np.float32)
+    xr0[2, :] = cfg.h_ref
+    xr0[6, 1:] = nominal_vx
+
+    c_scale = None
+    for p in range(P):
+        fs = phase_fsteps[p]
+        stance = (fs[:N, 0::3] != 0).reshape(-1)
+        ns = int(stance.sum())
+        assert ns <= cap, f"phase {p}: {ns} stance pairs > cap {cap}"
+        supports[p] = stance
+        pairs = np.where(stance)[0]
+        for s_i, kf in enumerate(pairs):
+            onehot2[p, s_i, kf] = 1.0
+            onehot[p, kf // 4, s_i] = 1.0
+        # nominal reduced H for the metric (f32 build, f64 inverse)
+        Hr, qr, *_ = mpc_mod.build_qp_reduced(
+            cfg, jnp.asarray(xr0), jnp.asarray(fs, jnp.float32), cap)
+        Hr = np.asarray(Hr, np.float64)
+        if c_scale is None:
+            D, E, cc = qp.ruiz_equilibrate(
+                jnp.asarray(Hr, jnp.float32)[None],
+                jnp.asarray(np.asarray(qr), jnp.float32)[None],
+                jnp.asarray(A), 10)
+            c_scale = float(np.asarray(cc)[0, 0])
+        Kbar = (margin * c_scale * Hr
+                + (sigma + diag_margin * c_scale) * np.eye(n)
+                + rho * (A.astype(np.float64).T @ A))
+        Kbar_inv[p] = np.linalg.inv(Kbar).astype(np.float32)
+
+    w = np.asarray(cfg.w_state, np.float32) * c_scale
+    data = qp_phase.PhaseQPData(
+        A=A, Kbar_inv=jnp.asarray(Kbar_inv), onehot=jnp.asarray(onehot),
+        L=L, P2=P2, l=l, u=u,
+        wtop=w[0:6], wbot=w[6:12],
+        w_force=float(cfg.w_force * c_scale), dt=float(cfg.dt_mpc),
+        rho=float(rho), sigma=float(sigma), alpha=float(alpha),
+        c_scale=float(c_scale))
+    return PhaseStructure(data=data, onehot2=onehot2, supports=supports,
+                          cap=cap, c_scale=c_scale)
+
+
+# ----------------------------------------------------------------------
+# Batched solve
+# ----------------------------------------------------------------------
+
+class MPCLaneState(NamedTuple):
+    """Warm carry in the full (step, foot) layout, lane-major: robust
+    to support changes across cycles (the next cycle re-extracts at its
+    own phase maps)."""
+    f: jnp.ndarray          # (4N, 3, B) forces
+    y: jnp.ndarray          # (4N, 5, B) cone-row duals
+
+
+def init_lane_state(cfg: Config, batch: int) -> MPCLaneState:
+    N4 = 4 * cfg.n_steps
+    return MPCLaneState(f=jnp.zeros((N4, 3, batch), f32),
+                        y=jnp.zeros((N4, 5, batch), f32))
+
+
+def shift_lane_state(state: MPCLaneState, n_steps: int) -> MPCLaneState:
+    """Advance one MPC step (gait roll): shift the (step, foot) axis."""
+    roll = lambda a: jnp.roll(a.reshape(n_steps, 4, *a.shape[1:]),
+                              -1, axis=0).reshape(a.shape)
+    return MPCLaneState(f=roll(state.f), y=roll(state.y))
+
+
+def _tile_oh2(ps: PhaseStructure, phases_of, tile: int):
+    """(n_tiles, cap, 4N) per-tile slot maps (numpy indexing, static)."""
+    return jnp.asarray(ps.onehot2[np.asarray(phases_of)])
+
+
+def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
+                          phases_of: np.ndarray,
+                          state: Optional[MPCLaneState] = None,
+                          n_iters: int = None, shift: bool = False,
+                          eps_abs: float = 1e-4, eps_rel: float = 1e-4,
+                          tile: int = 128, interpret: bool = False):
+    """Batched MPC solve, lane-major phase-sorted batch.
+
+    xrefs (12, N+1, B); fsteps (N_gait, 12, B); phases_of (B // tile,)
+    numpy ints: phase of each tile. Returns (x_f (24, N, B), new_state,
+    PhaseQPResult). Cold default 300 iterations, warm 75.
+    """
+    N = cfg.n_steps
+    cap = ps.cap
+    d = ps.data
+    B = xrefs.shape[-1]
+    n_tiles = B // tile
+    if n_iters is None:
+        n_iters = 300 if state is None else 150
+
+    Bl, hblk, gait = assemble_lane(cfg, xrefs.astype(f32),
+                                   fsteps.astype(f32))
+
+    # group lanes by tile for the static per-tile phase maps
+    oh2_t = _tile_oh2(ps, phases_of, tile)          # (n_tiles, cap, 4N)
+    Blf = Bl.reshape(N, 6, 4, 3, B).transpose(0, 2, 1, 3, 4) \
+            .reshape(4 * N, 6, 3, B)                # (4N, 6, 3, B)
+    Blf_t = Blf.reshape(4 * N, 6, 3, n_tiles, tile)
+    BlS = jnp.einsum("tsk,kaitb->asitb", oh2_t, Blf_t) \
+             .reshape(6, 3 * cap, B)                # (6, 3cap, B)
+
+    # q = Gr' W h via the shared prefix-sum structure
+    hb = hblk                                        # (N, 12, B)
+    htop = hb[:, 0:6, :] * d.wtop[None, :, None]
+    hbot = hb[:, 6:12, :] * d.wbot[None, :, None]
+    vp = d.dt * jnp.einsum("kj,kab->jab", jnp.asarray(d.P2), htop)
+    vv = jnp.einsum("kj,kab->jab", jnp.asarray(d.L), hbot)
+    oh_t = jnp.asarray(np.asarray(ps.data.onehot)[np.asarray(phases_of)])
+    v_t = (vp + vv).reshape(N, 6, n_tiles, tile)
+    vS = jnp.einsum("tks,katb->satb", oh_t, v_t)     # (cap, 6, nt, tile)
+    q_r = jnp.repeat(vS.transpose(1, 0, 2, 3), 3, axis=1) \
+        .reshape(6, 3 * cap, B)
+    q_r = (BlS * q_r).sum(axis=0)                    # (3cap, B)
+
+    # warm start extraction from the full-layout carry
+    x0 = y0 = None
+    if state is not None:
+        if shift:
+            state = shift_lane_state(state, N)
+        f_t = state.f.reshape(4 * N, 3, n_tiles, tile)
+        y_t = state.y.reshape(4 * N, 5, n_tiles, tile)
+        x0 = jnp.einsum("tsk,kitb->sitb", oh2_t, f_t) \
+            .reshape(3 * cap, B)
+        y0 = jnp.einsum("tsk,kitb->sitb", oh2_t, y_t) \
+            .reshape(5 * cap, B)
+
+    sol = qp_phase.solve(q_r, BlS, d, phases_of, x0=x0, y0=y0,
+                         n_iters=n_iters, eps_abs=eps_abs,
+                         eps_rel=eps_rel, tile=tile, interpret=interpret)
+
+    # scatter back to full layout
+    x_t = sol.x.reshape(cap, 3, n_tiles, tile)
+    yy_t = sol.y.reshape(cap, 5, n_tiles, tile)
+    f_full = jnp.einsum("tsk,sitb->kitb", oh2_t, x_t).reshape(4 * N, 3, B)
+    y_full = jnp.einsum("tsk,sitb->kitb", oh2_t, yy_t).reshape(4 * N, 5,
+                                                               B)
+
+    # Divergence handling (the safeguard box in ops/qp_phase bounds the
+    # rare non-convergent lanes instead of NaN): a failed lane SHIPS ITS
+    # STALE (rolled) PLAN — exactly the reference's async staleness
+    # fallback (scripts/MPC_Wrapper.py:111-126) — and its warm carry is
+    # zeroed so the next cycle restarts it cold.
+    cv = sol.converged[None, None, :]
+    if state is not None:
+        f_full = jnp.where(cv, f_full, state.f)
+        y_full = jnp.where(cv, y_full, state.y)
+        f_carry = jnp.where(cv, f_full, 0.0)
+        y_carry = jnp.where(cv, y_full, 0.0)
+    else:
+        f_carry, y_carry = f_full, y_full
+
+    # dx recovery + x_f assembly (recover_dx, lane-major)
+    u = jnp.einsum("kafib,kfib->kab", Bl.reshape(N, 6, 4, 3, B),
+                   f_full.reshape(N, 4, 3, B))       # (N, 6, B)
+    dxv = jnp.einsum("kj,jab->kab", jnp.asarray(d.L), u)
+    dxp = d.dt * jnp.einsum("kj,jab->kab", jnp.asarray(d.P2), u)
+    dx = jnp.concatenate([dxp, dxv], axis=1) + hblk  # (N, 12, B)
+    states = dx.transpose(1, 0, 2) + xrefs[:, 1:N + 1, :].astype(f32)
+    forces = f_full.reshape(N, 12, B).transpose(1, 0, 2)
+    x_f = jnp.concatenate([states, forces], axis=0)  # (24, N, B)
+
+    new_state = MPCLaneState(f=f_carry, y=y_carry)
+    return x_f, new_state, sol

@@ -1,0 +1,145 @@
+"""Tests of the lane-major phase-grouped MPC path (core/mpc_lane +
+ops/qp_phase): assembly equivalence against the batch-major builders,
+matrix-free Hx against the dense reduced Hessian, full solves against
+the f64 interior-point oracle, and warm-chain behavior across a gait
+roll (the production 50 Hz cadence)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qrw_tpu.config import Config
+from qrw_tpu.core import mpc
+from qrw_tpu.core import mpc_lane as ml
+from qrw_tpu.ops import qp_phase
+from tests.qp_oracle import solve_qp_oracle
+
+CFG = Config()
+N = CFG.n_steps
+H0 = 0.24474949993103629
+
+
+def _batch(phases, per_phase, seed=0, vmax=0.6):
+    rng = np.random.default_rng(seed)
+    phase_fs = ml.trot_phase_fsteps(CFG)
+    B = len(phases) * per_phase
+    xrefs = np.zeros((12, N + 1, B), np.float32)
+    xrefs[2, :, :] = H0
+    xrefs[:, 0, :] += rng.normal(scale=0.02, size=(12, B)).astype(
+        np.float32)
+    xrefs[6, 1:, :] = rng.uniform(0, vmax, B).astype(np.float32)
+    fsteps = np.zeros((CFG.N_gait, 12, B), np.float32)
+    for i, p in enumerate(phases):
+        fsteps[:, :, i * per_phase:(i + 1) * per_phase] = \
+            phase_fs[p][:, :, None]
+    return xrefs, fsteps, phase_fs
+
+
+def test_assembly_matches_batch_major():
+    xrefs, fsteps, _ = _batch([0, 5], 2)
+    Bl, hblk, gait = ml.assemble_lane(CFG, jnp.asarray(xrefs),
+                                      jnp.asarray(fsteps))
+    for b in range(4):
+        Bl_ref, h_ref, *_ = mpc._assemble_common(
+            CFG, jnp.asarray(xrefs[..., b]), jnp.asarray(fsteps[..., b]))
+        np.testing.assert_allclose(np.asarray(Bl[..., b]),
+                                   np.asarray(Bl_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hblk[..., b]),
+                                   np.asarray(h_ref), atol=1e-5)
+
+
+def test_hx_matfree_matches_dense():
+    xrefs, fsteps, phase_fs = _batch([3], 1)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    b, p = 0, 3
+    Hr, qr, *_ = mpc.build_qp_reduced(CFG, jnp.asarray(xrefs[..., b]),
+                                      jnp.asarray(fsteps[..., b]),
+                                      ps.cap)
+    Bl, hblk, _ = ml.assemble_lane(CFG, jnp.asarray(xrefs),
+                                   jnp.asarray(fsteps))
+    Blf = np.asarray(Bl).reshape(N, 6, 4, 3, 1) \
+        .transpose(1, 0, 2, 3, 4).reshape(6, 4 * N, 3, 1)
+    BlS = np.einsum("sk,akib->asib", np.asarray(ps.onehot2[p]),
+                    Blf).reshape(6, 3 * ps.cap, 1)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3 * ps.cap, 1)).astype(np.float32)
+    hx = qp_phase.hx_matfree(jnp.asarray(x), jnp.asarray(BlS),
+                             jnp.asarray(np.asarray(ps.data.onehot[p])),
+                             ps.data)
+    want = ps.c_scale * (np.asarray(Hr) @ x[:, 0])
+    np.testing.assert_allclose(np.asarray(hx)[:, 0], want,
+                               atol=2e-3 * max(1.0, np.abs(want).max()))
+
+
+def test_phase_solve_matches_oracle_cold_and_warm():
+    xrefs, fsteps, phase_fs = _batch([0, 5], 2, vmax=0.5)
+    B = 4
+    phases_of = np.array([0, 5])
+    ps = ml.build_phase_data(CFG, phase_fs)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, phases_of,
+        n_iters=600, tile=2, interpret=True))()
+    assert bool(np.asarray(sol.converged).all())
+    A_full = mpc.cone_matrix(N, CFG.mu)
+    for b in range(B):
+        H, qlin, l, u, *_ = mpc.build_qp(CFG, jnp.asarray(xrefs[..., b]),
+                                         jnp.asarray(fsteps[..., b]))
+        f_star = solve_qp_oracle(np.asarray(H, np.float64),
+                                 np.asarray(qlin, np.float64), A_full,
+                                 np.asarray(l, np.float64),
+                                 np.asarray(u, np.float64), tol=1e-10)
+        got = np.asarray(st.f[..., b]).reshape(-1)
+        # production tolerance (eps 1e-4): the WBC consumes the FIRST
+        # step; horizon-tail forces are the least determined
+        assert np.abs((got - f_star)[:12]).max() < 0.1
+        assert np.abs(got - f_star).max() < 1.5
+        sw = ~np.repeat(np.asarray(ps.supports[phases_of[b // 2]]), 3)
+        np.testing.assert_allclose(got[sw], 0.0, atol=0.0)
+
+    # warm re-solve with a gait roll (phase p -> p-1, shifted carry)
+    phases2 = (phases_of - 1) % N
+    fsteps2 = np.zeros_like(fsteps)
+    for b in range(B):
+        fsteps2[:, :, b] = phase_fs[phases2[b // 2]]
+    xrefs2 = xrefs.copy()
+    xrefs2[:, 0, :] += 0.002
+    x2, st2, sol2 = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs2), jnp.asarray(fsteps2), ps, phases2,
+        state=st, shift=True, n_iters=600, tile=2, interpret=True))()
+    assert bool(np.asarray(sol2.converged).all())
+    for b in range(B):
+        H, qlin, l, u, *_ = mpc.build_qp(
+            CFG, jnp.asarray(xrefs2[..., b]),
+            jnp.asarray(fsteps2[..., b]))
+        f_star = solve_qp_oracle(np.asarray(H, np.float64),
+                                 np.asarray(qlin, np.float64), A_full,
+                                 np.asarray(l, np.float64),
+                                 np.asarray(u, np.float64), tol=1e-10)
+        got = np.asarray(st2.f[..., b]).reshape(-1)
+        assert np.abs((got - f_star)[:12]).max() < 0.1
+        assert np.abs(got - f_star).max() < 1.5
+
+
+def test_divergence_fallback_ships_stale_plan():
+    """A lane that fails to converge must ship the (shifted) stale plan
+    and reset its carry (the reference's async staleness fallback)."""
+    xrefs, fsteps, phase_fs = _batch([2], 2, vmax=0.3)
+    phases_of = np.array([2])
+    ps = ml.build_phase_data(CFG, phase_fs)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, phases_of,
+        n_iters=600, tile=2, interpret=True))()
+    assert bool(np.asarray(sol.converged).all())
+    # re-solve a JUMPED problem with a 1-iteration budget: nothing
+    # converges -> outputs must equal the carried (unshifted) stale
+    # forces, carry must be 0
+    xrefs_far = xrefs.copy()
+    xrefs_far[6, 1:, :] += 1.0
+    x2, st2, sol2 = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs_far), jnp.asarray(fsteps), ps, phases_of,
+        state=st, n_iters=1, tile=2, interpret=True))()
+    assert not bool(np.asarray(sol2.converged).any())
+    forces = np.asarray(x2)[12:, :, :]            # (12, N, B)
+    stale = np.asarray(st.f).reshape(N, 12, 2).transpose(1, 0, 2)
+    np.testing.assert_allclose(forces, stale, atol=1e-6)
+    assert float(np.abs(np.asarray(st2.f)).max()) == 0.0
