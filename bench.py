@@ -681,10 +681,129 @@ def main():
                   f"dev)", file=sys.stderr)
         except Exception as e:
             print(f"virtual scaling run skipped: {e!r}", file=sys.stderr)
+        try:
+            run_dist_scaling(report)
+        except Exception as e:
+            print(f"2-process distributed scaling skipped: {e!r}",
+                  file=sys.stderr)
 
     print(json.dumps(report))
     if not args.smoke:
         assert conv > 0.95, f"warm convergence rate {conv:.3f} too low"
+
+
+def dist_proc():
+    """Subprocess mode: one rank of a jax.distributed CPU cluster
+    (DCN-style multi-process scaling harness — BASELINE.md's >=80%
+    2-host target measured as honestly as this single host allows).
+    Each process owns ONE virtual CPU device; the warm-cycle MPC
+    program is sharded over the GLOBAL mesh and every cycle ends in a
+    psum over the cluster (a real cross-process collective, so the
+    measurement includes DCN-path overhead, not just independent
+    work). Prints one JSON line from rank 0."""
+    i = sys.argv.index("--dist-proc")
+    rank, nprocs, port = (int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                          int(sys.argv[i + 3]))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs, process_id=rank)
+    import functools
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from qrw_tpu.config import Config
+    from qrw_tpu.core import mpc as mpc_mod
+    from qrw_tpu.ops import qp
+
+    cfg = Config()
+    devs = jax.devices()
+    n_dev = len(devs)
+    mesh = Mesh(np.asarray(devs), ("dp",))
+    per_dev = 24
+    B = per_dev * n_dev
+    rng = np.random.default_rng(0)
+    xr_np, fs_np = build_batch(cfg, B, rng)
+    sharding = NamedSharding(mesh, P("dp"))
+    xr = jax.make_array_from_process_local_data(
+        sharding, xr_np[rank * per_dev:(rank + 1) * per_dev], (B, 12,
+                                                               17))
+    fs = jax.make_array_from_process_local_data(
+        sharding, fs_np[rank * per_dev:(rank + 1) * per_dev],
+        (B, cfg.N_gait, 12))
+    settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=250)
+
+    def cycle(x, f):
+        sol = jax.vmap(lambda a, b: mpc_mod.solve_mpc(
+            cfg, a, b, settings=settings))(x, f)
+        # cross-process collective: total iterations over the cluster
+        return jax.lax.psum(jnp.sum(sol.iters), "dp")
+
+    run = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
+        check_vma=False)(cycle))
+    float(run(xr, fs))           # compile + first cycle
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(run(xr, fs))
+    dt = (time.perf_counter() - t0) / reps
+    if rank == 0:
+        print(json.dumps({"n_processes": nprocs,
+                          "solves_per_s_total": round(B / dt, 1)}))
+    jax.distributed.shutdown()
+
+
+def run_dist_scaling(report):
+    """Launch the 2-process jax.distributed harness + a 1-process
+    pinned baseline; record DCN-style weak-scaling efficiency."""
+    import os as _os
+    import socket
+    import subprocess
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    def launch(nprocs):
+        port = free_port()
+        procs = []
+        for r in range(nprocs):
+            env = dict(_os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                _os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=1")
+            prefix = ["taskset", "-c", str(r)]
+            procs.append(subprocess.Popen(
+                prefix + [sys.executable, _os.path.abspath(__file__),
+                          "--dist-proc", str(r), str(nprocs),
+                          str(port)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True))
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for ln in outs[0].splitlines():
+            if ln.startswith("{"):
+                return json.loads(ln)
+        raise RuntimeError("no JSON from rank 0")
+
+    one = launch(1)
+    two = launch(2)
+    eff = (two["solves_per_s_total"]
+           / (2 * one["solves_per_s_total"]))
+    report["scaling_efficiency_2proc_dcn"] = round(float(eff), 3)
+    report["scaling_2proc_note"] = (
+        "weak scaling over a 2-process jax.distributed CPU cluster on "
+        "localhost (1 pinned core/device per process, per-cycle psum "
+        "collective across processes); methodology stand-in for the "
+        "2-host DCN target on a single-host driver")
+    print(f"scaling (2-process jax.distributed, localhost DCN-style): "
+          f"efficiency {eff:.2f} ({two['solves_per_s_total']:.0f} "
+          f"aggregate vs {one['solves_per_s_total']:.0f} x2)",
+          file=sys.stderr)
 
 
 def scaling_cpu():
@@ -740,7 +859,9 @@ def scaling_cpu():
 
 
 if __name__ == "__main__":
-    if "--scaling-cpu" in sys.argv:
+    if "--dist-proc" in sys.argv:
+        dist_proc()
+    elif "--scaling-cpu" in sys.argv:
         scaling_cpu()
     else:
         main()

@@ -267,7 +267,8 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
                           state: Optional[MPCLaneState] = None,
                           n_iters: int = None, shift: bool = False,
                           eps_abs: float = 1e-4, eps_rel: float = 1e-4,
-                          tile: int = 128, interpret: bool = False):
+                          tile: int = 128, interpret: bool = False,
+                          use_ref: bool = False):
     """Batched MPC solve, lane-major phase-sorted batch.
 
     xrefs (12, N+1, B); fsteps (N_gait, 12, B); phases_of (B // tile,)
@@ -318,9 +319,20 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
         y0 = jnp.einsum("tsk,kitb->sitb", oh2_t, y_t) \
             .reshape(5 * cap, B)
 
-    sol = qp_phase.solve(q_r, BlS, d, phases_of, x0=x0, y0=y0,
-                         n_iters=n_iters, eps_abs=eps_abs,
-                         eps_rel=eps_rel, tile=tile, interpret=interpret)
+    if use_ref:
+        # pure-XLA reference path (identical update equations; no lane
+        # tiling constraints — any batch size / per-problem phases).
+        # Used by eval/parity_320 and CPU fallbacks; tile=1 makes
+        # phases_of per-problem.
+        assert tile == 1, "use_ref expects tile=1 (per-problem phases)"
+        sol = qp_phase.solve_ref(q_r, BlS, d,
+                                 np.asarray(phases_of, np.int32),
+                                 x0=x0, y0=y0, n_iters=n_iters)
+    else:
+        sol = qp_phase.solve(q_r, BlS, d, phases_of, x0=x0, y0=y0,
+                             n_iters=n_iters, eps_abs=eps_abs,
+                             eps_rel=eps_rel, tile=tile,
+                             interpret=interpret)
 
     # scatter back to full layout
     x_t = sol.x.reshape(cap, 3, n_tiles, tile)

@@ -32,9 +32,12 @@ import sys
 import numpy as np
 
 
-def capture(cfg, n_cycles: int):
+def capture(cfg, n_cycles: int, perfect: bool = False):
     """(C, 12, N+1) xrefs + (C, N_gait, 12) fsteps from a closed-loop
-    trot driven by the velID=2 profile (f64, reference tolerances)."""
+    trot driven by the velID=2 profile (f64, reference tolerances).
+    perfect=False (default) runs the REAL complementary-filter estimator
+    — the reference's shipping configuration
+    (scripts/Controller.py:102-111)."""
     import jax
     import jax.numpy as jnp
     from qrw_tpu.sim.rollout import make_rollout, rollout
@@ -42,7 +45,7 @@ def capture(cfg, n_cycles: int):
     n_ticks = n_cycles * cfg.k_mpc
     ctl, carry = make_rollout(cfg, dtype=jnp.float64)
     _, logs = jax.jit(lambda c: rollout(ctl, c, n_ticks,
-                                        perfect_estimator=True))(carry)
+                                        perfect_estimator=perfect))(carry)
     assert not bool(np.asarray(logs.error).any()), "capture run latched"
     ticks = np.arange(0, n_ticks, cfg.k_mpc)
     return (np.asarray(logs.mpc_xref)[ticks],
@@ -80,6 +83,9 @@ def solve_pallas_seq(cfg, xrefs, fsteps, interpret: bool):
     settings = qp.QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=450,
                              adaptive_rho_interval=200)
     tile = 8
+    refactor = "ns"       # the production warm K^-1 policy (bench.py
+                          # --mode full); measured explicitly rather
+                          # than relying on the "stale" default
     C = xrefs.shape[0]
     xs = jnp.asarray(xrefs, jnp.float32)
     fs = jnp.asarray(fsteps, jnp.float32)
@@ -97,7 +103,8 @@ def solve_pallas_seq(cfg, xrefs, fsteps, interpret: bool):
             x, f = xf
             _, st2, sol = mpc_mod.solve_mpc_batch_pallas(
                 cfg, x[None], f[None], state=st, settings=settings,
-                schedule=[100], tile=tile, interpret=interpret)
+                schedule=[100], tile=tile, refactor=refactor,
+                interpret=interpret)
             return st2, (sol.x[0], sol.converged[0])
 
         _, (x_rest, conv_rest) = jax.lax.scan(body, st0,
@@ -109,6 +116,43 @@ def solve_pallas_seq(cfg, xrefs, fsteps, interpret: bool):
     x_all, conv_all = jax.jit(chain)(xs, fs)
     return (np.asarray(x_all, np.float64),
             np.asarray(conv_all, bool).reshape(C))
+
+
+def solve_phase_cold(cfg, xrefs, fsteps):
+    """The lane-major phase solver (the production throughput path,
+    core/mpc_lane) on every captured cycle, cold at the production
+    300-iteration budget, via the pure-XLA reference path (identical
+    update equations to the pallas kernel —
+    tests/test_mpc_lane.py::test_kernel_matches_ref_path). Cycles whose
+    stance support is not one of the steady-trot phase classes are
+    excluded (reported as phase_match_rate). Returns (forces (C, 12N),
+    conv (C,), matched (C,))."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc_lane as ml
+
+    C = xrefs.shape[0]
+    N = cfg.n_steps
+    phase_fs = ml.trot_phase_fsteps(cfg)
+    ps = ml.build_phase_data(cfg, phase_fs)
+    sup = (fsteps[:, :N, 0::3] != 0).reshape(C, -1)      # (C, 4N)
+    phases = np.full(C, -1, np.int32)
+    for i in range(C):
+        m = np.where((ps.supports == sup[i]).all(axis=1))[0]
+        if m.size:
+            phases[i] = m[0]
+    matched = phases >= 0
+    idx = np.where(matched)[0]
+    xr = jnp.asarray(np.moveaxis(xrefs[idx], 0, -1), jnp.float32)
+    fs = jnp.asarray(np.moveaxis(fsteps[idx], 0, -1), jnp.float32)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        cfg, xr, fs, ps, phases[idx], n_iters=300, tile=1,
+        use_ref=True))()
+    out = np.zeros((C, 12 * N))
+    conv = np.zeros(C, bool)
+    out[idx] = np.asarray(st.f).reshape(4 * N * 3, -1).T
+    conv[idx] = np.asarray(sol.converged)
+    return out, conv, matched
 
 
 def solve_xla64_seq(cfg, xrefs, fsteps):
@@ -166,6 +210,9 @@ def _pallas_phase(data_path: str, out_path: str, interpret: bool):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cycles", type=int, default=320)
+    ap.add_argument("--perfect-estimator", action="store_true",
+                    help="capture with ground-truth state injection "
+                         "(default: the real complementary filter)")
     ap.add_argument("--backend", choices=["auto", "pallas", "interpret"],
                     default="auto")
     ap.add_argument("--cpu", action="store_true")
@@ -204,9 +251,12 @@ def main(argv=None):
     # without x64 (accelerator when present, interpret mode otherwise).
     cpu0 = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu0):
-        xrefs, fsteps, q_mes = capture(cfg, args.cycles)
+        xrefs, fsteps, q_mes = capture(cfg, args.cycles,
+                                       perfect=args.perfect_estimator)
         f_star = solve_oracle(cfg, xrefs, fsteps)
         f_ref64 = solve_xla64_seq(cfg, xrefs, fsteps)
+        f_phase, conv_phase, matched = solve_phase_cold(cfg, xrefs,
+                                                        fsteps)
 
     import subprocess
     import sys as _sys
@@ -245,13 +295,27 @@ def main(argv=None):
         tau_err = torque_error(cfg, q_mes, df1)
     fz_scale = cfg.mass * cfg.gravity / 2.0   # per-foot stance force scale
 
+    def stats_sel(f, sel):
+        d = (f - f_star)[sel]
+        d1 = d.reshape(-1, N, 12)[:, 0, :]
+        return {
+            "force_err_max_first_step_N": float(np.abs(d1).max()),
+            "force_err_mean_first_step_N": float(np.abs(d1).mean()),
+            "force_err_max_horizon_N": float(np.abs(d).max()),
+        }
+
     out = {
         "cycles": int(args.cycles),
+        "estimator": ("perfect" if args.perfect_estimator
+                      else "complementary (reference default)"),
         "backend_relaxed": "pallas-interpret" if interpret else "pallas",
         "relaxed_conv_rate": float(conv.mean()),
         "relaxed_eps": 1e-4,
         "relaxed": stats(f_relaxed),
         "f64_eps1e-6": stats(f_ref64),
+        "phase_solver_cold": stats_sel(f_phase, matched & conv_phase),
+        "phase_conv_rate": float(conv_phase[matched].mean()),
+        "phase_match_rate": float(matched.mean()),
         "torque_err_max_Nm_relaxed": float(tau_err.max()),
         "torque_budget_Nm": 8.0,
         "stance_fz_scale_N": float(fz_scale),

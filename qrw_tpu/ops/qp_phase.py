@@ -333,17 +333,22 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
         zr = data.alpha * zt + (1 - data.alpha) * z
         zn = jnp.clip(zr + y / data.rho, data.l[:, None], data.u[:, None])
         yn = y + data.rho * (zr - zn)
+        # same safeguard box as the kernel (admm_iter)
+        xn = jnp.clip(xn, -X_CLIP, X_CLIP)
+        yn = jnp.clip(yn, -Y_CLIP, Y_CLIP)
         return xn, zn, yn
 
     x, z, y = jax.lax.fori_loop(0, n_iters, it, (x, z, y))
+    ci = 1.0 / data.c_scale
     pri = jnp.max(jnp.abs(data.A @ x - z), axis=0)
-    dua = jnp.max(jnp.abs(hx(x) + q + data.A.T @ y), axis=0)
+    dua = jnp.max(jnp.abs(hx(x) + q + data.A.T @ y), axis=0) * ci
     n1 = jnp.maximum(jnp.max(jnp.abs(data.A @ x), axis=0),
                      jnp.max(jnp.abs(z), axis=0))
     n2 = jnp.maximum(jnp.max(jnp.abs(hx(x)), axis=0),
-                     jnp.max(jnp.abs(data.A.T @ y), axis=0))
+                     jnp.max(jnp.abs(data.A.T @ y), axis=0)) * ci
     eps_p = 1e-4 + 1e-4 * n1
-    eps_d = 1e-4 + 1e-4 * jnp.maximum(n2, jnp.max(jnp.abs(q), axis=0))
+    eps_d = 1e-4 + 1e-4 * jnp.maximum(
+        n2, jnp.max(jnp.abs(q), axis=0) * ci)
     conv = (pri <= eps_p) & (dua <= eps_d)
     return PhaseQPResult(x=x, y=y, z=z, pri_res=pri, dua_res=dua,
                          converged=conv,

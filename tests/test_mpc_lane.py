@@ -143,3 +143,20 @@ def test_divergence_fallback_ships_stale_plan():
     stale = np.asarray(st.f).reshape(N, 12, 2).transpose(1, 0, 2)
     np.testing.assert_allclose(forces, stale, atol=1e-6)
     assert float(np.abs(np.asarray(st2.f)).max()) == 0.0
+
+
+def test_kernel_matches_ref_path():
+    """The pallas kernel (interpret) and the pure-XLA reference path run
+    the same update equations — iterates must match to fp tolerance."""
+    xrefs, fsteps, phase_fs = _batch([0, 9], 2, vmax=0.4)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    a = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps,
+        np.array([0, 9]), n_iters=120, tile=2, interpret=True))()
+    b = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps,
+        np.array([0, 0, 9, 9]), n_iters=120, tile=1, use_ref=True))()
+    np.testing.assert_allclose(np.asarray(a[1].f), np.asarray(b[1].f),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a[2].pri_res),
+                               np.asarray(b[2].pri_res), atol=2e-4)
