@@ -86,13 +86,23 @@ def main(argv=None) -> int:
         slider_replay(data, cfg, show=True)
 
     if args.estimator:
-        from qrw_tpu.eval.estimator_eval import plot as est_plot, score
+        import numpy as np
+        from qrw_tpu.eval.estimator_eval import (plot as est_plot,
+                                                 plot_bis, score,
+                                                 windowed_drift)
         m = score(data, cfg)
         print("estimator metrics:",
               {k: round(v, 5) for k, v in m.items()})
+        _, drift = windowed_drift(data, cfg)
+        print("windowed drift per 0.5 s [m]: max",
+              round(float(np.abs(drift).max()), 5), "mean",
+              round(float(np.abs(drift).mean()), 5))
         if args.plot is not None:
-            est_plot(data, cfg, show=args.show,
-                     save_prefix=None if args.show else args.plot)
+            prefix = None if args.show else args.plot
+            est_plot(data, cfg, show=args.show, save_prefix=prefix)
+            # the _bis deep-study panels (windowed drift, error FFT,
+            # complementary-filter internals)
+            plot_bis(data, cfg, show=args.show, save_prefix=prefix)
 
     if args.fk_feet:
         from qrw_tpu.eval.estimator_eval import plot_fk_feet
@@ -115,13 +125,18 @@ def main(argv=None) -> int:
     if args.compare:
         import jax.numpy as jnp
         import numpy as np
-        from qrw_tpu.eval.compare import compare_solvers, summarize
+        from qrw_tpu.eval.compare import (compare_solvers,
+                                          compare_solvers_warm, summarize)
         ticks = np.arange(0, data["mpc_xref"].shape[0], cfg.k_mpc)
-        cmp = compare_solvers(cfg,
-                              jnp.asarray(data["mpc_xref"][ticks]),
-                              jnp.asarray(data["mpc_fsteps"][ticks]))
-        print("solver comparison:",
-              {k: round(v, 5) for k, v in summarize(cmp).items()})
+        xr = jnp.asarray(data["mpc_xref"][ticks])
+        fs = jnp.asarray(data["mpc_fsteps"][ticks])
+        # warm in-loop (production budgets, the reference's test_1
+        # methodology) and the cold like-for-like re-solve
+        for name, fn in (("warm-in-loop", compare_solvers_warm),
+                         ("cold", compare_solvers)):
+            print(f"solver comparison ({name}):",
+                  {k: round(v, 5)
+                   for k, v in summarize(fn(cfg, xr, fs)).items()})
     return 0
 
 

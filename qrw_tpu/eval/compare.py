@@ -61,6 +61,52 @@ def compare_solvers(cfg: Config, xrefs, fsteps) -> CycleComparison:
         state_rmse=jnp.sqrt(jnp.mean(dx ** 2, axis=(1, 2))))
 
 
+def compare_solvers_warm(cfg: Config, xrefs, fsteps) -> CycleComparison:
+    """Warm, in-loop comparison: both backends solve the captured cycle
+    SEQUENCE exactly as they run in the controller — warm-started from
+    their own previous cycle, under their production iteration budgets
+    (the reference's test_1 compares the solvers mid-run, not from cold
+    starts: scripts/crocoddyl_eval/test_1/run_scenarios.py:46-66).
+    QP: eps 1e-4 relaxed settings, 100-iteration warm rounds (the
+    bench.py full-path policy). DDP: the real-time 10-iteration cap
+    with xs/us warm start (scripts/crocoddyl_class/MPC_crocoddyl.py:
+    201-208)."""
+    from qrw_tpu.ops import qp as qp_ops
+
+    settings = qp_ops.QPSettings(eps_abs=1e-4, eps_rel=1e-4,
+                                 max_iter=450,
+                                 adaptive_rho_interval=200)
+
+    def qp_chain(xs, fs):
+        def body(st, xf):
+            x, f = xf
+            res = mpc_mod.solve_mpc(cfg, x, f, st, settings)
+            return res.state, res.x_f_applied
+        _, out = jax.lax.scan(body, mpc_mod.init_mpc_state(
+            cfg, xs.dtype), (xs, fs))
+        return out
+
+    def ddp_chain(xs, fs):
+        ddp_cfg = mpc_ddp.DDPSettings(max_iters=10)  # real-time budget
+
+        def body(st, xf):
+            x, f = xf
+            res = mpc_ddp.solve_mpc_ddp(cfg, x, f, st, settings=ddp_cfg)
+            return res.state, res.x_f_applied
+        _, out = jax.lax.scan(body, mpc_ddp.init_ddp_state(
+            cfg, xs.dtype), (xs, fs))
+        return out
+
+    x_f_qp = jax.jit(qp_chain)(xrefs, fsteps)
+    x_f_ddp = jax.jit(ddp_chain)(xrefs, fsteps)
+    df = x_f_qp[:, 12:, :] - x_f_ddp[:, 12:, :]
+    dx = x_f_qp[:, :12, :] - x_f_ddp[:, :12, :]
+    return CycleComparison(
+        x_f_qp=x_f_qp, x_f_ddp=x_f_ddp,
+        force_rmse=jnp.sqrt(jnp.mean(df ** 2, axis=(1, 2))),
+        state_rmse=jnp.sqrt(jnp.mean(dx ** 2, axis=(1, 2))))
+
+
 def summarize(cmp: CycleComparison) -> Dict[str, float]:
     return {
         "cycles": int(cmp.force_rmse.shape[0]),
@@ -72,12 +118,19 @@ def summarize(cmp: CycleComparison) -> Dict[str, float]:
     }
 
 
-def run(cfg: Config = None, n_ticks: int = 500) -> Dict[str, float]:
-    """End-to-end harness (run_scenarios + analyse_simu equivalent)."""
+def run(cfg: Config = None, n_ticks: int = 500,
+        warm: bool = True) -> Dict[str, float]:
+    """End-to-end harness (run_scenarios + analyse_simu equivalent).
+    warm=True (default) compares the solvers as they run in the loop
+    (warm-started, production budgets); warm=False is the cold
+    like-for-like re-solve."""
     if cfg is None:
         cfg = Config()
     xrefs, fsteps = capture_cycles(cfg, n_ticks)
-    return summarize(compare_solvers(cfg, xrefs, fsteps))
+    fn = compare_solvers_warm if warm else compare_solvers
+    out = summarize(fn(cfg, xrefs, fsteps))
+    out["mode"] = "warm-in-loop" if warm else "cold"
+    return out
 
 
 if __name__ == "__main__":  # pragma: no cover

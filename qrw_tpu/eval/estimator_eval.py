@@ -219,6 +219,145 @@ def plot_tracking(logs_list, labels=None, cfg: Optional[Config] = None,
     return fig
 
 
+def windowed_drift(logs, cfg: Optional[Config] = None,
+                   window_s: float = 0.5):
+    """Per-window horizontal drift of the estimated base position
+    relative to ground truth (the windowed integrated-drift study of
+    plot_IMU_mocap_result_bis.py: how much the odometry walks away per
+    fixed time window, rather than a single end-of-run number).
+    Returns (t_windows (W,), drift (W, 2)) in meters per window."""
+    cfg = cfg if cfg is not None else Config()
+    d = _as_dict(logs)
+    T_total = d["base_pos"].shape[0]
+    w = max(2, min(int(round(window_s / cfg.dt_wbc)), T_total // 2))
+    err = d["q_est"][:, 0:2] - d["base_pos"][:, 0:2]   # (T, 2)
+    T = (err.shape[0] // w) * w
+    seg = err[:T].reshape(-1, w, 2)
+    drift = seg[:, -1, :] - seg[:, 0, :]
+    t_w = (np.arange(drift.shape[0]) + 0.5) * w * cfg.dt_wbc
+    return t_w, drift
+
+
+def velocity_error_fft(logs, cfg: Optional[Config] = None,
+                       skip: int = 100):
+    """Amplitude spectrum of the linear-velocity estimation error per
+    axis (the FFT panels of plot_IMU_mocap_result_bis.py — the gait
+    frequency and its harmonics dominate the leg-odometry error).
+    Returns (freqs (F,), amp (F, 3))."""
+    cfg = cfg if cfg is not None else Config()
+    d = _as_dict(logs)
+    err = (d["v_est"][skip:, 0:3] - d["base_vel"][skip:]).astype(
+        np.float64)
+    T = err.shape[0]
+    amp = np.abs(np.fft.rfft(err - err.mean(axis=0), axis=0)) / T
+    freqs = np.fft.rfftfreq(T, d=cfg.dt_wbc)
+    return freqs, amp
+
+
+def plot_bis(logs, cfg: Optional[Config] = None, show: bool = True,
+             save_prefix: Optional[str] = None):
+    """The deep-study panel set of plot_IMU_mocap_result_bis.py:
+    (1) windowed horizontal drift, (2) FFT of the velocity estimation
+    error with the gait frequency marked, (3) complementary-filter
+    internals (HP/LP contributions, already logged per tick)."""
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cfg = cfg if cfg is not None else Config()
+    d = _as_dict(logs)
+    fig, axs = plt.subplots(3, 1, figsize=(12, 10))
+
+    t_w, drift = windowed_drift(d, cfg)
+    axs[0].bar(t_w - 0.1, drift[:, 0], width=0.2, label="x")
+    axs[0].bar(t_w + 0.1, drift[:, 1], width=0.2, label="y")
+    axs[0].set_ylabel("drift per 0.5 s window [m]")
+    axs[0].set_xlabel("t [s]")
+    axs[0].legend()
+
+    freqs, amp = velocity_error_fft(d, cfg)
+    for a, lbl in enumerate("xyz"):
+        axs[1].semilogy(freqs[1:], amp[1:, a] + 1e-12, lw=0.8,
+                        label=f"v{lbl} err")
+    f_gait = 2.0 / cfg.T_gait            # two stance switches per period
+    axs[1].axvline(f_gait, color="k", ls=":", lw=1.0,
+                   label=f"gait {f_gait:.1f} Hz")
+    axs[1].set_xlim(0, 60)
+    axs[1].set_ylabel("velocity error amplitude")
+    axs[1].set_xlabel("f [Hz]")
+    axs[1].legend(fontsize=7)
+
+    t = np.arange(d["base_pos"].shape[0]) * cfg.dt_wbc
+    if "est_hp_vel" in d and "est_lp_vel" in d:
+        axs[2].plot(t, d["est_hp_vel"][:, 0], lw=0.7,
+                    label="HP (IMU integration) vx")
+        axs[2].plot(t, d["est_lp_vel"][:, 0], lw=0.7,
+                    label="LP (leg odometry) vx")
+        axs[2].plot(t, d["v_est"][:, 0], "r--", lw=1.0, label="fused vx")
+        axs[2].plot(t, d["base_vel"][:, 0], "k", lw=0.8, label="truth vx")
+    axs[2].set_ylabel("vx [m/s]")
+    axs[2].set_xlabel("t [s]")
+    axs[2].legend(fontsize=7)
+    fig.suptitle("Estimator deep study (windowed drift / error FFT / "
+                 "filter internals)")
+    if save_prefix:
+        fig.savefig(save_prefix + "_estimator_bis.png", dpi=110)
+    if show:  # pragma: no cover
+        plt.show()
+    return fig
+
+
+def compare_filters(cfg: Optional[Config] = None, n_ticks: int = 1000,
+                    vx: float = 0.5, dtype=jnp.float32, show: bool = True,
+                    save_prefix: Optional[str] = None):
+    """Filter-variant overlay (the complementary-vs-Kalman comparison
+    panels of the reference's estimator studies): run the SAME scenario
+    once per estimator variant and overlay estimates against the shared
+    ground truth. Returns (figure, {label: metrics})."""
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+
+    cfg = cfg if cfg is not None else Config()
+    sched = jnp.zeros((n_ticks, 6), dtype).at[:, 0].set(
+        jnp.minimum(vx, jnp.arange(n_ticks) * (vx / max(1, n_ticks // 3))
+                    ).astype(dtype))
+    runs = {}
+    for label, kf in (("complementary", False), ("kalman18", True)):
+        c = cfg.replace(kf_enabled=kf)
+        ctl, carry = make_rollout(c, dtype=dtype)
+        _, logs = jax.jit(lambda ca, ctl=ctl: rollout(
+            ctl, ca, n_ticks, v_ref_schedule=sched))(carry)
+        runs[label] = _as_dict(logs)
+
+    fig, axs = plt.subplots(2, 3, figsize=(14, 7), sharex=True)
+    t = np.arange(n_ticks) * cfg.dt_wbc
+    colors = {"complementary": "r", "kalman18": "g"}
+    for c_i in range(3):
+        axs[0, c_i].plot(t, runs["complementary"]["base_vel"][:, c_i],
+                         "k", lw=0.8, label="truth")
+        axs[1, c_i].set_xlabel("t [s]")
+        for label, d in runs.items():
+            axs[0, c_i].plot(t, d["v_est"][:, c_i],
+                             colors[label] + "--", lw=0.8, label=label)
+            axs[1, c_i].plot(t, d["v_est"][:, c_i] - d["base_vel"][:, c_i],
+                             colors[label], lw=0.7, label=label)
+        axs[0, c_i].set_ylabel(f"v{'xyz'[c_i]} [m/s]")
+        axs[1, c_i].set_ylabel(f"v{'xyz'[c_i]} error [m/s]")
+    axs[0, 0].legend(fontsize=7)
+    fig.suptitle("Estimator variants vs ground truth")
+    metrics = {label: score(d, cfg) for label, d in runs.items()}
+    if save_prefix:
+        fig.savefig(save_prefix + "_filter_variants.png", dpi=110)
+    if show:  # pragma: no cover
+        plt.show()
+    return fig, metrics
+
+
 def run_demo(cfg: Optional[Config] = None, n_ticks: int = 500,
              kf: bool = False, dtype=jnp.float64) -> Dict[str, float]:
     """Estimator demo run (main_solo12_demo_estimator.py analog): run the

@@ -76,3 +76,11 @@ def test_solver_comparison_harness():
     assert abs(s["fz_qp_mean"] - mg4) < 2.0
     assert abs(s["fz_ddp_mean"] - mg4) < 2.0
     assert s["force_rmse_mean"] < 3.0
+    # warm in-loop variant (both solvers warm-started under production
+    # budgets, the reference's test_1 methodology): same physical
+    # agreement
+    sw = compare.summarize(compare.compare_solvers_warm(
+        cfg, xrefs[10:], fsteps[10:]))
+    assert abs(sw["fz_qp_mean"] - mg4) < 2.0
+    assert abs(sw["fz_ddp_mean"] - mg4) < 2.0
+    assert sw["force_rmse_mean"] < 3.0

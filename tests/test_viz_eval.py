@@ -76,3 +76,26 @@ def test_estimator_demo_kf():
     m = estimator_eval.run_demo(CFG, n_ticks=200, kf=True)
     assert m["z_rmse"] < 0.05
     assert np.isfinite(m["xy_drift"])
+
+
+def test_estimator_bis_panels(run_logs):
+    """The _bis-style deep-study panels (plot_IMU_mocap_result_bis.py):
+    windowed drift, velocity-error FFT, filter internals."""
+    t_w, drift = estimator_eval.windowed_drift(run_logs, CFG)
+    assert drift.shape[1] == 2 and t_w.shape[0] == drift.shape[0]
+    assert np.abs(drift).max() < 0.05   # standing: tiny per-window drift
+    freqs, amp = estimator_eval.velocity_error_fft(run_logs, CFG)
+    assert freqs.shape[0] == amp.shape[0] and amp.shape[1] == 3
+    assert np.all(np.isfinite(amp))
+    fig = estimator_eval.plot_bis(run_logs, CFG, show=False)
+    assert len(fig.axes) == 3
+
+
+def test_filter_variant_comparison():
+    """Complementary vs 18-state Kalman on the same scenario: both track
+    and the comparison figure + metrics come out."""
+    fig, metrics = estimator_eval.compare_filters(
+        CFG, n_ticks=240, vx=0.3, dtype=jnp.float32, show=False)
+    assert set(metrics) == {"complementary", "kalman18"}
+    for m in metrics.values():
+        assert m["vx_rmse"] < 0.3
