@@ -9,15 +9,20 @@ The workload matches the reference MPC problem exactly (N=16 horizon,
 trot gait, condensed 12N-variable QP with friction-pyramid + activation
 rows — src/MPC.cpp:512-513 solves the same physics as a 384-var sparse
 QP) and the reference's EXECUTION PATTERN: a persistent solver re-solved
-at 50 Hz, warm-started from the previous cycle's solution with the
-workspace (rho, preconditioner) carried over (src/MPC.cpp:547-556 keeps
-the OSQP workspace alive between calls). The measurement is steady-state
-throughput over that cycle loop on the fused Pallas ADMM kernel
-(ops/qp_pallas): every rep perturbs the batch of scenarios (distinct
-current states, rolling stance patterns) and re-solves warm-started,
-ending with a device->host scalar read for reliable timing through the
-remote-TPU tunnel. Cold-start solves (full Ruiz + rho adaptation) are
-reported on stderr for context.
+at 50 Hz, warm-started from the previous cycle's solution
+(src/MPC.cpp:547-556 keeps the OSQP workspace alive between calls).
+
+Three solver modes, most to least TPU-native:
+  --mode phase (default): the lane-major phase-grouped matrix-free
+      prox-ADMM (ops/qp_phase + core/mpc_lane) — batch on the lane
+      axis, one shared proximal metric per gait phase, zero per-problem
+      factorizations. Steady-state warm cycles are measured as ONE
+      scanned multi-cycle dispatch because the remote-TPU tunnel RTT
+      (~25 ms) exceeds the true per-cycle device time.
+  --mode reduced: support-reduced QP (swing forces eliminated) with a
+      per-problem batched Cholesky each cycle.
+  --mode full: the round-2 full-size fused Pallas ADMM kernel
+      (ops/qp_pallas) with Newton-Schulz warm refactorization.
 """
 
 from __future__ import annotations

@@ -246,6 +246,7 @@ def velocity_error_fft(logs, cfg: Optional[Config] = None,
     Returns (freqs (F,), amp (F, 3))."""
     cfg = cfg if cfg is not None else Config()
     d = _as_dict(logs)
+    skip = min(skip, d["base_vel"].shape[0] // 2)  # short logs
     err = (d["v_est"][skip:, 0:3] - d["base_vel"][skip:]).astype(
         np.float64)
     T = err.shape[0]

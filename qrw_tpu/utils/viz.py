@@ -167,3 +167,107 @@ def slider_replay(logs, cfg=None, show: bool = True):
     if show:  # pragma: no cover
         plt.show()
     return fig, slider
+
+
+def animate_rollout(logs, cfg=None, stride: int = 10, fps: int = 25,
+                    force_scale: float = 0.01, show: bool = True,
+                    save_path: Optional[str] = None):
+    """Lightweight 3D rollout animation — the offline stand-in for the
+    PyBullet GUI chase camera, debug foothold spheres and contact-force
+    lines (scripts/Controller.py:332-339,
+    scripts/PyBulletSimulator.py:177-210, scripts/ForceMonitor.py:29-84).
+
+    Draws per frame: the base as an oriented box wireframe, straight
+    shoulder->foot leg segments from the batched-FK foot positions, the
+    commanded swing targets as floating markers ("debug spheres"), and
+    WBC ground-reaction-force quivers — with the axes window chasing the
+    base like the GUI camera. save_path: ".gif" (Pillow) or ".html"
+    (jshtml, no external encoder needed); returns the FuncAnimation.
+    """
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    from qrw_tpu.config import Config
+    from qrw_tpu.ops.rotations import quat_to_rot
+
+    cfg = cfg if cfg is not None else Config()
+    d = _as_dict(logs)
+    feet = foot_positions(d)
+    T = feet.shape[0]
+    frames = range(0, T, max(1, stride))
+    bp = np.asarray(d["base_pos"])
+    R = np.asarray(jax.vmap(quat_to_rot)(
+        jnp.asarray(d["base_quat"], jnp.float64)))
+    f_wbc = np.asarray(d.get("f_wbc", d.get("f_mpc")))
+    targets = np.asarray(d["feet_pos_ref"]) if "feet_pos_ref" in d \
+        else None
+
+    # base box (Solo-12 trunk approx) in body frame
+    hx, hy, hz = 0.195, 0.0875, 0.035
+    corners = np.array([[sx * hx, sy * hy, sz * hz]
+                        for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)])
+    edges = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+             (5, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+    shoulders = np.array([[0.1946, 0.0875, 0.0], [0.1946, -0.0875, 0.0],
+                          [-0.1946, 0.0875, 0.0],
+                          [-0.1946, -0.0875, 0.0]])
+
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(projection="3d")
+    box_lines = [ax.plot([], [], [], "k-", lw=1.2)[0] for _ in edges]
+    leg_lines = [ax.plot([], [], [], "b-", lw=1.5)[0] for _ in range(4)]
+    foot_pts, = ax.plot([], [], [], "ko", ms=4)
+    tgt_pts, = ax.plot([], [], [], "go", ms=6, alpha=0.6)
+    frc_lines = [ax.plot([], [], [], "r-", lw=1.0)[0] for _ in range(4)]
+    trail, = ax.plot([], [], [], "c-", lw=0.8, alpha=0.7)
+    ax.set_xlabel("x [m]"); ax.set_ylabel("y [m]"); ax.set_zlabel("z")
+
+    def draw(k):
+        Rw = R[k]
+        cw = bp[k] + corners @ Rw.T
+        for ln, (a, b) in zip(box_lines, edges):
+            seg = np.stack([cw[a], cw[b]])
+            ln.set_data(seg[:, 0], seg[:, 1])
+            ln.set_3d_properties(seg[:, 2])
+        sh_w = bp[k] + shoulders @ Rw.T
+        for f in range(4):
+            seg = np.stack([sh_w[f], feet[k, f]])
+            leg_lines[f].set_data(seg[:, 0], seg[:, 1])
+            leg_lines[f].set_3d_properties(seg[:, 2])
+            frc = f_wbc[k].reshape(4, 3)[f] * force_scale
+            seg2 = np.stack([feet[k, f], feet[k, f] + frc])
+            frc_lines[f].set_data(seg2[:, 0], seg2[:, 1])
+            frc_lines[f].set_3d_properties(seg2[:, 2])
+        foot_pts.set_data(feet[k, :, 0], feet[k, :, 1])
+        foot_pts.set_3d_properties(feet[k, :, 2])
+        if targets is not None:
+            tw = targets[k].T if targets[k].shape == (3, 4) \
+                else targets[k]
+            tgt_pts.set_data(tw[:, 0], tw[:, 1])
+            tgt_pts.set_3d_properties(tw[:, 2])
+        trail.set_data(bp[:k:5, 0], bp[:k:5, 1])
+        trail.set_3d_properties(bp[:k:5, 2])
+        # chase camera: axes window follows the base
+        cx, cy = bp[k, 0], bp[k, 1]
+        ax.set_xlim(cx - 0.45, cx + 0.45)
+        ax.set_ylim(cy - 0.45, cy + 0.45)
+        ax.set_zlim(0.0, 0.5)
+        return box_lines + leg_lines + frc_lines + [foot_pts, tgt_pts,
+                                                    trail]
+
+    ani = animation.FuncAnimation(fig, draw, frames=frames,
+                                  interval=1000 // fps, blit=False)
+    if save_path:
+        if save_path.endswith(".html"):
+            with open(save_path, "w") as f:
+                f.write(ani.to_jshtml(fps=fps))
+        else:
+            ani.save(save_path,
+                     writer=animation.PillowWriter(fps=fps))
+    if show:  # pragma: no cover
+        plt.show()
+    return ani

@@ -99,3 +99,12 @@ def test_filter_variant_comparison():
     assert set(metrics) == {"complementary", "kalman18"}
     for m in metrics.values():
         assert m["vx_rmse"] < 0.3
+
+
+def test_rollout_animation(run_logs, tmp_path):
+    """3D animation (PyBullet-GUI stand-in): renders and saves without
+    an external encoder."""
+    out = tmp_path / "roll.html"
+    ani = viz.animate_rollout(run_logs, CFG, stride=50, show=False,
+                              save_path=str(out))
+    assert out.exists() and out.stat().st_size > 10_000
