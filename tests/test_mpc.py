@@ -219,3 +219,113 @@ def test_batched_solves_match_single():
         np.testing.assert_allclose(np.asarray(batched.x_f_applied[i]),
                                    np.asarray(single[i].x_f_applied),
                                    atol=1e-7)
+
+
+def test_condensation_matches_reference_sparse_formulation():
+    """Cross-validation against the reference's OWN formulation: the
+    uncondensed sparse QP is reconstructed row-by-row from the
+    src/MPC.cpp construction (independent of every qrw_tpu builder) and
+    solved with the f64 IPM oracle; the condensed path must produce the
+    same forces and predicted states.
+
+    Reference construction (all cites src/MPC.cpp):
+      variables X = [state deviations x_k - xref_k (12N); forces (12N)]
+      rows 0..12N     dynamics equalities: -X_r + A X_{r-1} + B_r F_r
+                      = N_r with A = I + dt E (:92-100), B force rows
+                      dt/mass at 6:9 (:104-117) and torque rows
+                      dt*(R'gI R)^-1 skew(lever) at 9:12 (:439-447),
+                      N = g-term + A(-x0) first block + D xref (:261-290)
+      rows 12N..24N   S_gait activation: coefficient 1 for SWING feet
+                      with l = u = 0 (pin), coefficient 0 for stance
+                      (vacuous row, :126-129, :455-461, construct_S)
+      rows 24N..44N   friction pyramid C per (step, foot) with the
+                      a/b/c index pattern (:135-146), u = 0, l = -inf
+                      except -25 on each 5th row (:293-297)
+      cost P = diag(w_state x N, 5e-5 x 12N), q = 0 (:330-349)
+    """
+    cfg = CFG
+    N = cfg.n_steps
+    dt = cfg.dt_mpc
+    xref = _xref()
+    xref[:, 0] = [0.01, -0.02, H0 + 0.01, 0.02, -0.01, 0.03,
+                  0.1, 0.05, -0.02, 0.2, -0.1, 0.15]
+    xref[6, 1:] = 0.4
+    fsteps = _fsteps_trot(3)
+    gait = (fsteps[:N, 0::3] != 0).astype(float)
+    gI = np.asarray(CFG.gI, np.float64).reshape(3, 3)
+
+    # --- independent sparse construction (numpy, f64) ----------------
+    nv, meq = 24 * N, 12 * N
+    A_blk = np.eye(12)
+    A_blk[0:6, 6:12] = dt * np.eye(6)
+    M = np.zeros((44 * N, nv))
+    lo = np.zeros(44 * N)
+    up = np.zeros(44 * N)
+    # dynamics rows
+    for r in range(N):
+        M[12 * r:12 * r + 12, 12 * r:12 * r + 12] = -np.eye(12)
+        if r > 0:
+            M[12 * r:12 * r + 12, 12 * (r - 1):12 * r] = A_blk
+        # B_r
+        yaw = xref[5, r]
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        I_inv = np.linalg.inv(R.T @ gI @ R)
+        com = xref[0:3, r] + np.array([0, 0, CFG.offset_com_z])
+        B = np.zeros((12, 12))
+        for i in range(4):
+            B[6:9, 3 * i:3 * i + 3] = (dt / CFG.mass) * np.eye(3)
+            lv = fsteps[r, 3 * i:3 * i + 3] - com
+            sk = np.array([[0, -lv[2], lv[1]], [lv[2], 0, -lv[0]],
+                           [-lv[1], lv[0], 0]])
+            B[9:12, 3 * i:3 * i + 3] = dt * (I_inv @ sk)
+        M[12 * r:12 * r + 12, 12 * (N + r):12 * (N + r) + 12] = B
+        # N_r: gravity + xref coupling (+ A(-x0) on the first block)
+        n_r = np.zeros(12)
+        n_r[8] = CFG.gravity * dt                      # -g(8)
+        n_r += xref[:, r + 1] - A_blk @ xref[:, r] if r > 0 else 0.0
+        if r == 0:
+            n_r += xref[:, 1] - A_blk @ xref[:, 0]
+        lo[12 * r:12 * r + 12] = n_r
+        up[12 * r:12 * r + 12] = n_r
+    # activation rows: swing pinned, stance vacuous (coefficient 0)
+    for r in range(N):
+        for i in range(4):
+            if gait[r, i] == 0:
+                for c3 in range(3):
+                    row = meq + 12 * r + 3 * i + c3
+                    M[row, 12 * (N + r) + 3 * i + c3] = 1.0
+    # cone rows
+    a_p = [0, 1, 2, 3, 0, 1, 2, 3, 4]
+    b_p = [0, 0, 1, 1, 2, 2, 2, 2, 2]
+    c_p = [1.0, -1.0, 1.0, -1.0, -CFG.mu, -CFG.mu, -CFG.mu, -CFG.mu,
+           -1.0]
+    off = 24 * N
+    for r in range(N):
+        for i in range(4):
+            for j in range(9):
+                M[off + 20 * r + 5 * i + a_p[j],
+                  12 * (N + r) + 3 * i + b_p[j]] = c_p[j]
+    lo[off:] = -np.inf
+    lo[off + 4::5] = -CFG.fz_max
+    up[off:] = 0.0
+    P = np.diag(np.concatenate([np.tile(CFG.w_state, N),
+                                np.full(12 * N, CFG.w_force)]))
+    q0 = np.zeros(nv)
+
+    # vacuous all-zero rows (stance activation) break the IPM oracle;
+    # dropping a 0 = 0 row is an identity transformation
+    keep = np.abs(M).sum(axis=1) > 0
+    x_sp = solve_qp_oracle(P, q0, M[keep], lo[keep], up[keep],
+                           tol=1e-10)
+    forces_sp = x_sp[12 * N:].reshape(N, 12)
+    states_sp = x_sp[:12 * N].reshape(N, 12) + xref[:, 1:].T
+
+    # --- the condensed path on the same problem ----------------------
+    res = mpc.solve_mpc(CFG, jnp.asarray(xref), jnp.asarray(fsteps),
+                        settings=qp.QPSettings(max_iter=4000,
+                                               eps_abs=1e-9,
+                                               eps_rel=1e-9))
+    x_f = np.asarray(res.x_f_applied)
+    np.testing.assert_allclose(x_f[12:, :].T, forces_sp, atol=2e-4)
+    np.testing.assert_allclose(x_f[:12, :].T, states_sp, atol=2e-4)
