@@ -28,7 +28,20 @@ Cost weights, friction coefficient, force bounds, gravity handling and the
 24 x N result layout (states relative to xref columns 1..N, then forces)
 match src/MPC.cpp:317-391,569-599 exactly. B_k uses the yaw-rotated
 inertia and CoM-offset lever arms of the update path
-(src/MPC.cpp:439-461).
+(src/MPC.cpp:439-461). The condensation is cross-validated against an
+independent row-by-row reconstruction of the reference's sparse QP in
+tests/test_mpc.py::test_condensation_matches_reference_sparse_formulation.
+
+Solver paths, most to least TPU-native:
+  * core/mpc_lane + ops/qp_phase — lane-major phase-grouped matrix-free
+    prox-ADMM: the production fleet-throughput path (~89k solves/s/chip).
+  * solve_mpc_batch_reduced (this module) + ops/qp_pallas — support-
+    reduced QP with a fresh per-problem Cholesky every cycle.
+  * solve_mpc_batch_pallas (this module) — the full-size fused Pallas
+    ADMM kernel with Newton-Schulz warm refactorization.
+  * solve_mpc (this module) + ops/qp — per-problem XLA path with full
+    OSQP semantics incl. f64: the in-graph controller solver and the
+    reference-tolerance oracle.
 """
 
 from __future__ import annotations
