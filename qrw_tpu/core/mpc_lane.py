@@ -334,6 +334,17 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
                              eps_rel=eps_rel, tile=tile,
                              interpret=interpret)
 
+    # Support guard: a problem whose actual stance pattern does not
+    # match its claimed phase class solved the WRONG reduced QP — mark
+    # it non-converged so it takes the stale-plan fallback below
+    # instead of shipping silently wrong forces.
+    sup_claim = jnp.asarray(
+        np.asarray(ps.supports, np.float32)[np.asarray(phases_of)])
+    sup_claim = jnp.repeat(sup_claim, tile, axis=0)       # (B, 4N)
+    sup_have = gait.transpose(2, 0, 1).reshape(B, 4 * N)
+    support_ok = jnp.all(sup_have == sup_claim, axis=1)
+    sol = sol._replace(converged=sol.converged & support_ok)
+
     # scatter back to full layout
     x_t = sol.x.reshape(cap, 3, n_tiles, tile)
     yy_t = sol.y.reshape(cap, 5, n_tiles, tile)

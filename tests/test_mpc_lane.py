@@ -160,3 +160,21 @@ def test_kernel_matches_ref_path():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(a[2].pri_res),
                                np.asarray(b[2].pri_res), atol=2e-4)
+
+
+def test_support_mismatch_marks_unconverged():
+    """A problem whose stance pattern does not match its claimed phase
+    class must be flagged non-converged (wrong reduced QP) and take the
+    stale-plan path rather than ship silently wrong forces."""
+    xrefs, fsteps, phase_fs = _batch([4], 2, vmax=0.2)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    # claim phase 9 while the fsteps are phase 4
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([9]),
+        n_iters=400, tile=2, interpret=True))()
+    assert not bool(np.asarray(sol.converged).any())
+    # correctly-claimed phase converges
+    x2, st2, sol2 = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([4]),
+        n_iters=400, tile=2, interpret=True))()
+    assert bool(np.asarray(sol2.converged).all())
