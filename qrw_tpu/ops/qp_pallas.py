@@ -406,7 +406,10 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
               refinement noise floor then stalls a fraction of chained
               problems just above eps=1e-4 (measured conv ~0.65-0.94
               over 4 chained cycles vs 1.0 for "ns"). Use for cheap
-              safety-net cycles only; "ns" is the production policy.
+              safety-net cycles only; "ns" is the production policy of
+              THIS full-size path. (For fleet throughput the lane-major
+              phase solver, ops/qp_phase, supersedes all of these —
+              it needs no per-problem factorization at all.)
     """
     dtype = jnp.float32
     P = jnp.asarray(P, dtype)
