@@ -155,6 +155,50 @@ def solve_phase_cold(cfg, xrefs, fsteps):
     return out, conv, matched
 
 
+def solve_phase_warm_streams(cfg, xrefs, fsteps):
+    """The phase solver in its production FLEET pattern: the captured
+    cycle sequence is grouped into 16 phase-streams (consecutive cycles
+    rotate through the gait offsets), each stream warm-starting from its
+    own previous solve (one gait period earlier). All 16 streams solve
+    in parallel per round at the production 300-iteration budget.
+    Returns (forces (C, 12N), conv (C,), matched (C,))."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc_lane as ml
+
+    C = xrefs.shape[0]
+    N = cfg.n_steps
+    phase_fs = ml.trot_phase_fsteps(cfg)
+    ps = ml.build_phase_data(cfg, phase_fs)
+    sup = (fsteps[:, :N, 0::3] != 0).reshape(C, -1)
+    phases = np.full(C, -1, np.int32)
+    for i in range(C):
+        m = np.where((ps.supports == sup[i]).all(axis=1))[0]
+        if m.size:
+            phases[i] = m[0]
+    matched = phases >= 0
+    out = np.zeros((C, 12 * N))
+    conv = np.zeros(C, bool)
+    # rounds of 16 consecutive cycles — one problem per phase-stream
+    P = N
+    R = C // P
+    st = None
+    solve = jax.jit(lambda xr, fs, ph, st: ml.solve_mpc_batch_phase(
+        cfg, xr, fs, ps, ph, state=st, n_iters=300, tile=1,
+        use_ref=True), static_argnums=2)
+    for r in range(R):
+        idx = np.arange(r * P, (r + 1) * P)
+        if not matched[idx].all():
+            st = None
+            continue
+        xr = jnp.asarray(np.moveaxis(xrefs[idx], 0, -1), jnp.float32)
+        fs = jnp.asarray(np.moveaxis(fsteps[idx], 0, -1), jnp.float32)
+        x_f, st, sol = solve(xr, fs, tuple(phases[idx]), st)
+        out[idx] = np.asarray(st.f).reshape(-1, P).T             if False else np.asarray(st.f).reshape(4 * N * 3, P).T
+        conv[idx] = np.asarray(sol.converged)
+    return out, conv, matched
+
+
 def solve_xla64_seq(cfg, xrefs, fsteps):
     """The f64 sync path at reference tolerances, warm-started."""
     import jax
@@ -257,6 +301,8 @@ def main(argv=None):
         f_ref64 = solve_xla64_seq(cfg, xrefs, fsteps)
         f_phase, conv_phase, matched = solve_phase_cold(cfg, xrefs,
                                                         fsteps)
+        f_ph_w, conv_ph_w, matched_w = solve_phase_warm_streams(
+            cfg, xrefs, fsteps)
 
     import subprocess
     import sys as _sys
@@ -316,6 +362,12 @@ def main(argv=None):
         "phase_solver_cold": stats_sel(f_phase, matched & conv_phase),
         "phase_conv_rate": float(conv_phase[matched].mean()),
         "phase_match_rate": float(matched.mean()),
+        "phase_solver_warm_streams": stats_sel(f_ph_w,
+                                               matched_w & conv_ph_w),
+        "phase_solver_warm_steady": stats_sel(
+            f_ph_w, matched_w & conv_ph_w
+            & (np.arange(int(args.cycles)) >= cfg.n_steps)),
+        "phase_warm_conv_rate": float(conv_ph_w[matched_w].mean()),
         "torque_err_max_Nm_relaxed": float(tau_err.max()),
         "torque_budget_Nm": 8.0,
         "stance_fz_scale_N": float(fz_scale),
