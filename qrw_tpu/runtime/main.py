@@ -69,7 +69,67 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--estimator-demo", action="store_true",
                    help="estimator-only evaluation run "
                         "(main_solo12_demo_estimator analog) and exit")
+    p.add_argument("--fleet-mpc", type=int, default=0, metavar="B",
+                   help="MPC-fleet service demo: solve B phase-sorted "
+                        "trot scenarios per 50 Hz cycle on the "
+                        "lane-major phase solver and report solves/s + "
+                        "convergence (the production throughput path)")
+    p.add_argument("--fleet-cycles", type=int, default=10,
+                   help="warm cycles for --fleet-mpc")
     return p
+
+
+def _run_fleet_mpc(args, cfg):
+    """Fleet MPC service demo (the bench.py phase-mode workload behind a
+    user-facing entry point): B scenarios phase-sorted over the trot's
+    16 gait offsets, warm-cycled on ops/qp_phase."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qrw_tpu.core import mpc_lane as ml
+
+    B = args.fleet_mpc
+    P = cfg.n_steps
+    on_cpu = all(d.platform == "cpu" for d in jax.devices())
+    tile = 4 if on_cpu else 128
+    per = max(tile, (B // (P * tile)) * tile)
+    phase_ids = list(range(P)) if B >= P * tile else [0, P // 2]
+    B = per * len(phase_ids)
+    rng = np.random.default_rng(args.seed)
+    phase_fs = ml.trot_phase_fsteps(cfg)
+    xr = np.zeros((12, cfg.n_steps + 1, B), np.float32)
+    xr[2] = cfg.h_ref
+    xr[:, 0, :] += rng.normal(scale=0.01, size=(12, B))
+    xr[6, 1:, :] = rng.uniform(0, 1.0, size=B)
+    fs = np.zeros((cfg.N_gait, 12, B), np.float32)
+    for i, p_id in enumerate(phase_ids):
+        fs[:, :, i * per:(i + 1) * per] = phase_fs[p_id][:, :, None]
+    phases_of = np.repeat(phase_ids, per // tile)
+    ps = ml.build_phase_data(cfg, phase_fs)
+    xrj, fsj = jnp.asarray(xr), jnp.asarray(fs)
+
+    solve = jax.jit(lambda x, f, st: ml.solve_mpc_batch_phase(
+        cfg, x, f, ps, phases_of, state=st, n_iters=300, tile=tile,
+        interpret=on_cpu))
+    _, st, sol = jax.jit(lambda x, f: ml.solve_mpc_batch_phase(
+        cfg, x, f, ps, phases_of, n_iters=300, tile=tile,
+        interpret=on_cpu))(xrj, fsj)
+    float(jnp.sum(sol.pri_res))
+    t0 = time.perf_counter()
+    convs = []
+    for c in range(args.fleet_cycles):
+        xrj = xrj.at[:, 0, :].add(0.001)
+        _, st, sol = solve(xrj, fsj, st)
+        convs.append(float(jnp.mean(sol.converged.astype(jnp.float32))))
+    dt = (time.perf_counter() - t0) / args.fleet_cycles
+    print(f"fleet MPC service: {B} scenarios/cycle, "
+          f"{B / dt:.0f} solves/s, conv {np.mean(convs):.4f} "
+          f"({'CPU interpret' if on_cpu else 'TPU'}; per-dispatch "
+          f"timing — see bench.py for the scanned steady-state number)")
+    return 0
 
 
 def _run_host_loop(args, cfg, dtype):
@@ -132,6 +192,9 @@ def main(argv=None) -> int:
     cfg = load_config(args.config, **overrides)
     dtype = jnp.float64 if args.f64 else jnp.float32
     n_ticks = cfg.N_SIMULATION
+
+    if args.fleet_mpc:
+        return _run_fleet_mpc(args, cfg)
 
     if args.host_loop:
         return _run_host_loop(args, cfg, dtype)

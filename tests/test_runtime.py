@@ -69,3 +69,12 @@ def test_cli_analyze(tmp_path, monkeypatch):
                        "--estimator", "--forces", "20"])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "out") + "_forces.png")
+
+
+def test_cli_fleet_mpc(capsys):
+    """The fleet MPC service CLI mode runs the phase solver end to end."""
+    from qrw_tpu.runtime.main import main as cli_main
+    rc = cli_main(["--fleet-mpc", "8", "--fleet-cycles", "1", "--cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "fleet MPC service" in out and "conv" in out
