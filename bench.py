@@ -94,7 +94,7 @@ def run_phase_mode(args, cfg, report):
         phase_ids = list(range(cfg.n_steps))
         tile = args.tile or 128
         per_phase = (args.batch or 4096) // len(phase_ids)
-        cold_iters, warm_iters, R = 800, args.warm_iters or 300, 20
+        cold_iters, warm_iters, R = 800, args.warm_iters or 250, 20
     interpret = bool(args.smoke)
     xr_np, fs_np, phase_fs = phase_batch(cfg, phase_ids, per_phase, rng)
     B = xr_np.shape[-1]

@@ -148,7 +148,7 @@ def trot_phase_fsteps(cfg: Config, foothold=None) -> np.ndarray:
 
 
 def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
-                     rho: float = 0.02, margin: float = 1.5,
+                     rho: float = 0.015, margin: float = 1.5,
                      diag_margin: float = 0.0, sigma: float = 1e-6,
                      alpha: float = 1.0, cap: int = None,
                      nominal_vx: float = 0.5) -> PhaseStructure:
@@ -281,7 +281,7 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
     B = xrefs.shape[-1]
     n_tiles = B // tile
     if n_iters is None:
-        n_iters = 300 if state is None else 150
+        n_iters = 300 if state is None else 250
 
     Bl, hblk, gait = assemble_lane(cfg, xrefs.astype(f32),
                                    fsteps.astype(f32))
