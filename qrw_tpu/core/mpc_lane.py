@@ -257,23 +257,93 @@ def shift_lane_state(state: MPCLaneState, n_steps: int) -> MPCLaneState:
     return MPCLaneState(f=roll(state.f), y=roll(state.y))
 
 
+def _is_static_phases(phases_of) -> bool:
+    return isinstance(phases_of, (np.ndarray, list, tuple)) or \
+        np.isscalar(phases_of)
+
+
+def _gather_by_phase(arr_np, phases_of):
+    """arr[phases_of] for host numpy phases (static indexing) or traced
+    jnp phases (in-graph gather)."""
+    if _is_static_phases(phases_of):
+        return jnp.asarray(np.asarray(arr_np)[np.asarray(phases_of)])
+    return jnp.asarray(arr_np)[jnp.asarray(phases_of, jnp.int32)]
+
+
 def _tile_oh2(ps: PhaseStructure, phases_of, tile: int):
-    """(n_tiles, cap, 4N) per-tile slot maps (numpy indexing, static)."""
-    return jnp.asarray(ps.onehot2[np.asarray(phases_of)])
+    """(n_tiles, cap, 4N) per-tile slot maps."""
+    return _gather_by_phase(ps.onehot2, phases_of)
+
+
+def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
+                         sol, rescue_cap: int, rescue_settings,
+                         interpret: bool):
+    """Second-stage rescue: re-solve up to rescue_cap failed lanes cold
+    through the per-problem support-reduced Cholesky path. Returns the
+    patched (f_full, y_full, sol) with rescued lanes marked converged.
+
+    The rescue batch is gathered batch-major (the reduced path's native
+    layout); per-lane cost is one Ruiz + one (3cap)^3 Cholesky + the
+    ADMM schedule — at rescue_cap ~ B/32 this is a few percent of the
+    phase kernel's cycle time. Lanes are selected by a stable argsort on
+    the failure mask, so with fewer failures than capacity the tail
+    slots re-solve already-converged lanes and are masked out of the
+    patch."""
+    import jax
+    from qrw_tpu.core import mpc as mpc_mod
+    N = cfg.n_steps
+    B = xrefs.shape[-1]
+    R = min(rescue_cap, B)
+    if rescue_settings is None:
+        rescue_settings = qp.QPSettings(
+            eps_abs=1e-4, eps_rel=1e-4, max_iter=450,
+            adaptive_rho_interval=200, scaling_iters=4)
+    bad = ~sol.converged
+    order = jnp.argsort(jnp.where(bad, 0, 1), stable=True)[:R]
+    sel_bad = bad[order]                                    # (R,)
+    xb = xrefs.astype(f32)[:, :, order].transpose(2, 0, 1)  # (R,12,N+1)
+    fb = fsteps.astype(f32)[:, :, order].transpose(2, 0, 1)
+    r_tile = R if R <= 64 else 64
+    _, st_r, sol_r, ok_r = mpc_mod.solve_mpc_batch_reduced(
+        cfg, xb, fb, settings=rescue_settings, tile=r_tile,
+        cap=2 * N, interpret=interpret)
+    good = sel_bad & sol_r.converged & ok_r                 # (R,)
+    f_r = st_r.f.reshape(R, 4 * N, 3).transpose(1, 2, 0)    # (4N,3,R)
+    y_r = st_r.y.reshape(R, 4 * N, 5).transpose(1, 2, 0)
+    g3 = good[None, None, :]
+    f_full = f_full.at[:, :, order].set(
+        jnp.where(g3, f_r, f_full[:, :, order]))
+    y_full = y_full.at[:, :, order].set(
+        jnp.where(g3, y_r, y_full[:, :, order]))
+    conv = sol.converged.at[order].set(sol.converged[order] | good)
+    return f_full, y_full, sol._replace(converged=conv)
 
 
 def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
-                          phases_of: np.ndarray,
+                          phases_of,
                           state: Optional[MPCLaneState] = None,
                           n_iters: int = None, shift: bool = False,
                           eps_abs: float = 1e-4, eps_rel: float = 1e-4,
                           tile: int = 128, interpret: bool = False,
-                          use_ref: bool = False):
+                          use_ref: bool = False, rescue_cap: int = 0,
+                          rescue_settings=None):
     """Batched MPC solve, lane-major phase-sorted batch.
 
     xrefs (12, N+1, B); fsteps (N_gait, 12, B); phases_of (B // tile,)
-    numpy ints: phase of each tile. Returns (x_f (24, N, B), new_state,
-    PhaseQPResult). Cold default 300 iterations, warm 75.
+    ints (host numpy for a static phase layout, or a traced jnp array —
+    the fleet rollout rotates phases in-graph as the gait rolls): phase
+    of each tile. Returns (x_f (24, N, B), new_state, PhaseQPResult).
+
+    rescue_cap > 0 enables the capacity-bounded SECOND STAGE: up to
+    rescue_cap lanes that failed the phase solve (divergence under the
+    shared prox metric, or a support pattern outside the phase set) are
+    re-solved cold through the per-problem support-reduced Cholesky path
+    (core/mpc.solve_mpc_batch_reduced) — the exact-metric ADMM that has
+    no shared-metric indefiniteness. Rescued lanes ship the rescue
+    forces and keep a valid warm carry; only lanes beyond the capacity
+    (or failing both stages) fall back to the stale plan. This mirrors
+    the reference's layered robustness (OSQP polish + the wrapper's
+    staleness fallback, scripts/MPC_Wrapper.py:111-126) at fleet scale.
     """
     N = cfg.n_steps
     cap = ps.cap
@@ -300,7 +370,7 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
     hbot = hb[:, 6:12, :] * d.wbot[None, :, None]
     vp = d.dt * jnp.einsum("kj,kab->jab", jnp.asarray(d.P2), htop)
     vv = jnp.einsum("kj,kab->jab", jnp.asarray(d.L), hbot)
-    oh_t = jnp.asarray(np.asarray(ps.data.onehot)[np.asarray(phases_of)])
+    oh_t = _gather_by_phase(np.asarray(ps.data.onehot), phases_of)
     v_t = (vp + vv).reshape(N, 6, n_tiles, tile)
     vS = jnp.einsum("tks,katb->satb", oh_t, v_t)     # (cap, 6, nt, tile)
     q_r = jnp.repeat(vS.transpose(1, 0, 2, 3), 3, axis=1) \
@@ -325,8 +395,7 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
         # Used by eval/parity_320 and CPU fallbacks; tile=1 makes
         # phases_of per-problem.
         assert tile == 1, "use_ref expects tile=1 (per-problem phases)"
-        sol = qp_phase.solve_ref(q_r, BlS, d,
-                                 np.asarray(phases_of, np.int32),
+        sol = qp_phase.solve_ref(q_r, BlS, d, phases_of,
                                  x0=x0, y0=y0, n_iters=n_iters)
     else:
         sol = qp_phase.solve(q_r, BlS, d, phases_of, x0=x0, y0=y0,
@@ -338,8 +407,8 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
     # match its claimed phase class solved the WRONG reduced QP — mark
     # it non-converged so it takes the stale-plan fallback below
     # instead of shipping silently wrong forces.
-    sup_claim = jnp.asarray(
-        np.asarray(ps.supports, np.float32)[np.asarray(phases_of)])
+    sup_claim = _gather_by_phase(np.asarray(ps.supports, np.float32),
+                                 phases_of)
     sup_claim = jnp.repeat(sup_claim, tile, axis=0)       # (B, 4N)
     sup_have = gait.transpose(2, 0, 1).reshape(B, 4 * N)
     support_ok = jnp.all(sup_have == sup_claim, axis=1)
@@ -351,6 +420,12 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
     f_full = jnp.einsum("tsk,sitb->kitb", oh2_t, x_t).reshape(4 * N, 3, B)
     y_full = jnp.einsum("tsk,sitb->kitb", oh2_t, yy_t).reshape(4 * N, 5,
                                                                B)
+
+    # second stage: per-problem reduced re-solve of failed lanes
+    if rescue_cap:
+        f_full, y_full, sol = _rescue_failed_lanes(
+            cfg, xrefs, fsteps, f_full, y_full, sol, rescue_cap,
+            rescue_settings, interpret)
 
     # Divergence handling (the safeguard box in ops/qp_phase bounds the
     # rare non-convergent lanes instead of NaN): a failed lane SHIPS ITS

@@ -178,3 +178,82 @@ def test_support_mismatch_marks_unconverged():
         CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([4]),
         n_iters=400, tile=2, interpret=True))()
     assert bool(np.asarray(sol2.converged).all())
+
+
+def test_traced_phases_match_static():
+    """phases_of as a TRACED jnp array (the fleet rollout's in-graph
+    phase rotation) must converge to the same solution as static numpy
+    phases. (Mid-transient iterates are NOT compared: the traced gather
+    changes XLA fusion order, and the resulting ~1e-7 assembly wobble
+    amplifies through the ADMM transient; converged endpoints agree.)"""
+    xrefs, fsteps, phase_fs = _batch([1, 7], 2, vmax=0.4)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    a = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps,
+        np.array([1, 7]), n_iters=600, tile=2, interpret=True))()
+    b = jax.jit(lambda p: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, p,
+        n_iters=600, tile=2, interpret=True))(
+            jnp.asarray([1, 7], jnp.int32))
+    assert bool(np.asarray(a[2].converged).all())
+    assert bool(np.asarray(b[2].converged).all())
+    np.testing.assert_allclose(np.asarray(a[1].f), np.asarray(b[1].f),
+                               atol=2e-2)
+
+
+def test_iteration_counts_are_real():
+    """Converged lanes must report iters-to-converge strictly below the
+    budget when they converge early (VERDICT r3 #8: iters was always
+    n_iters); counts have check_every granularity."""
+    xrefs, fsteps, phase_fs = _batch([0], 4, vmax=0.3)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([0]),
+        n_iters=800, tile=4, interpret=True))()
+    conv = np.asarray(sol.converged)
+    iters = np.asarray(sol.iters)
+    assert conv.all()
+    assert (iters[conv] < 800).all(), iters
+    assert (iters % 25 == 0).all()
+    # warm re-solve from the solution converges almost immediately
+    x2, st2, sol2 = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([0]),
+        state=st, n_iters=800, tile=4, interpret=True))()
+    assert (np.asarray(sol2.iters) <= iters).all()
+
+
+def test_rescue_recovers_failed_lanes():
+    """rescue_cap routes lanes that fail the phase solve into the
+    per-problem support-reduced path: a budget-starved phase solve (1
+    iteration -> nothing converges) must come back fully converged via
+    the rescue, with forces matching the oracle."""
+    from tests.qp_oracle import solve_qp_oracle
+    xrefs, fsteps, phase_fs = _batch([3], 2, vmax=0.3)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([3]),
+        n_iters=1, tile=2, interpret=True, rescue_cap=2))()
+    assert bool(np.asarray(sol.converged).all()), "rescue did not fire"
+    A_full = mpc.cone_matrix(N, CFG.mu)
+    for b in range(2):
+        H, qlin, l, u, *_ = mpc.build_qp(CFG, jnp.asarray(xrefs[..., b]),
+                                         jnp.asarray(fsteps[..., b]))
+        f_star = solve_qp_oracle(np.asarray(H, np.float64),
+                                 np.asarray(qlin, np.float64), A_full,
+                                 np.asarray(l, np.float64),
+                                 np.asarray(u, np.float64), tol=1e-10)
+        got = np.asarray(st.f[..., b]).reshape(-1)
+        assert np.abs((got - f_star)[:12]).max() < 0.1
+        assert np.abs(got - f_star).max() < 1.5
+
+
+def test_rescue_respects_capacity():
+    """With more failures than rescue capacity, exactly `cap` lanes are
+    rescued and the rest take the stale-plan fallback."""
+    xrefs, fsteps, phase_fs = _batch([5], 4, vmax=0.3)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([5]),
+        n_iters=1, tile=4, interpret=True, rescue_cap=2))()
+    conv = np.asarray(sol.converged)
+    assert conv.sum() == 2, conv
