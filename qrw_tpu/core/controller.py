@@ -166,16 +166,33 @@ class Telemetry(NamedTuple):
     feet_a_cmd: jnp.ndarray    # (3, 4) commanded foot accelerations
 
 
-def compute(ctl: Controller, state: ControllerState, device: DeviceData,
-            k, v_ref6=None, joystick_code=0,
-            perfect_estimator: bool = False,
-            return_telemetry: bool = False):
-    """One control tick (Controller.compute, scripts/Controller.py:200).
+class PreMPC(NamedTuple):
+    """Pipeline values computed BEFORE the MPC solve of one tick
+    (joystick -> estimator -> state update -> gait -> planners). The
+    split lets a fleet driver run the per-scenario pipeline under vmap
+    and route all scenarios' (xref, fsteps) through ONE lane-major
+    batched MPC solve (core/mpc_lane) instead of vmapping the
+    per-problem solver — the production fleet architecture."""
+    est: NamedTuple             # estimator output (state + filtered sigs)
+    v_ref: jnp.ndarray          # (18,)
+    q: jnp.ndarray              # (19,)
+    v: jnp.ndarray              # (18,)
+    h_v: jnp.ndarray            # (18,)
+    yaw_estim: jnp.ndarray
+    oRh: jnp.ndarray            # (3, 3)
+    oTh: jnp.ndarray            # (3,)
+    gait: gait_mod.GaitState
+    fs_state: FootstepState
+    ft_state: FootTrajState
+    fsteps: jnp.ndarray         # (N_gait, 12) MPC footstep input
+    xref: jnp.ndarray           # (12, N+1) MPC reference input
 
-    k: tick counter (traced ok). v_ref6: optional explicit (6,) velocity
-    command; defaults to the predefined profile cfg.velID. Returns
-    (new_state, Result), or (new_state, Result, Telemetry) when
-    return_telemetry=True (static)."""
+
+def compute_pre(ctl: Controller, state: ControllerState,
+                device: DeviceData, k, v_ref6=None, joystick_code=0,
+                perfect_estimator: bool = False) -> PreMPC:
+    """First half of a control tick: everything up to (and producing)
+    the MPC inputs (scripts/Controller.py:200-244)."""
     cfg = ctl.cfg
     model = ctl.model
     dtype = state.q.dtype
@@ -232,6 +249,31 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
     xref = compute_reference_states(q[0:7], h_v[0:6], v_ref[0:6],
                                     dt_mpc=cfg.dt_mpc, n_steps=cfg.n_steps,
                                     h_ref=cfg.h_ref)
+    return PreMPC(est=est, v_ref=v_ref, q=q, v=v, h_v=h_v,
+                  yaw_estim=yaw_estim, oRh=oRh, oTh=oTh, gait=gait,
+                  fs_state=fs_state, ft_state=ft_state, fsteps=fsteps,
+                  xref=xref)
+
+
+def compute(ctl: Controller, state: ControllerState, device: DeviceData,
+            k, v_ref6=None, joystick_code=0,
+            perfect_estimator: bool = False,
+            return_telemetry: bool = False):
+    """One control tick (Controller.compute, scripts/Controller.py:200).
+
+    k: tick counter (traced ok). v_ref6: optional explicit (6,) velocity
+    command; defaults to the predefined profile cfg.velID. Returns
+    (new_state, Result), or (new_state, Result, Telemetry) when
+    return_telemetry=True (static). Composition: compute_pre -> the
+    dual-rate MPC under lax.cond -> compute_post."""
+    cfg = ctl.cfg
+    dtype = state.q.dtype
+    k = jnp.asarray(k)
+    k_mpc = cfg.k_mpc
+    pre = compute_pre(ctl, state, device, k, v_ref6, joystick_code,
+                      perfect_estimator)
+    gait, xref, fsteps = pre.gait, pre.xref, pre.fsteps
+    oRh, oTh = pre.oRh, pre.oTh
 
     # ---- MPC (solve every k_mpc ticks, keep latest plan otherwise) --------
     def stale_roll(plan):
@@ -287,6 +329,30 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
                  else (k % k_mpc) == 0)
     x_f_mpc, x_f_next, mpc_state, planner_target = lax.cond(
         solve_now, run_mpc, keep_mpc, None)
+
+    return compute_post(ctl, state, pre, k, x_f_mpc, x_f_next, mpc_state,
+                        planner_target, return_telemetry=return_telemetry)
+
+
+def compute_post(ctl: Controller, state: ControllerState, pre: PreMPC,
+                 k, x_f_mpc, x_f_next, mpc_state, planner_target,
+                 return_telemetry: bool = False):
+    """Second half of a control tick: WBC target assembly, frame
+    transforms, whole-body controller, security check, state update
+    (scripts/Controller.py:258-330,341-365). x_f_mpc is the plan the WBC
+    consumes this tick — the internal lax.cond result in `compute`, or
+    the lane-major batched solve's per-scenario slice in the fleet
+    driver (sim/fleet.py)."""
+    cfg = ctl.cfg
+    model = ctl.model
+    dtype = state.q.dtype
+    k = jnp.asarray(k)
+    k_mpc = cfg.k_mpc
+    est, v_ref, xref = pre.est, pre.v_ref, pre.xref
+    gait, fs_state, ft_state = pre.gait, pre.fs_state, pre.ft_state
+    q, v, h_v, yaw_estim = pre.q, pre.v, pre.h_v, pre.yaw_estim
+    oRh, oTh = pre.oRh, pre.oTh
+    fsteps = pre.fsteps
 
     # ---- WBC target assembly (scripts/Controller.py:258-269) -------------
     x_f_wbc = x_f_mpc[:, 0]

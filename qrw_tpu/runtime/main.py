@@ -76,7 +76,61 @@ def build_argparser() -> argparse.ArgumentParser:
                         "convergence (the production throughput path)")
     p.add_argument("--fleet-cycles", type=int, default=10,
                    help="warm cycles for --fleet-mpc")
+    p.add_argument("--fleet", type=int, default=0, metavar="B",
+                   help="CLOSED-LOOP fleet: B simultaneous scenarios "
+                        "whose MPC solves all run through ONE lane-major "
+                        "phase-solver dispatch per 50 Hz cycle "
+                        "(sim/fleet.py — the production fleet loop; "
+                        "--batch by contrast vmaps the per-problem "
+                        "solver)")
+    p.add_argument("--rescue", type=int, default=None,
+                   help="rescue-stage capacity for --fleet "
+                        "(default B/32)")
     return p
+
+
+def _run_fleet(args, cfg, dtype):
+    """Closed-loop lane-major fleet rollout (sim/fleet.py): the phase
+    solver IS the fleet's MPC, in the loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qrw_tpu.core import mpc_lane as ml
+    from qrw_tpu.sim import fleet as fl
+
+    on_cpu = all(d.platform == "cpu" for d in jax.devices())
+    tile = 1 if on_cpu else 128
+    B = max(args.fleet, tile)
+    B = (B // tile) * tile
+    ps = ml.build_phase_data(cfg, ml.trot_phase_fsteps(cfg))
+    ctl, carry = fl.make_fleet(cfg, B, ps, tile=tile, seed=args.seed)
+    n_cycles = max(1, cfg.N_SIMULATION // cfg.k_mpc)
+    rescue = args.rescue if args.rescue is not None else max(4, B // 32)
+    run = jax.jit(lambda c: fl.fleet_rollout(
+        ctl, c, n_cycles, ps, tile=tile, n_iters=300,
+        rescue_cap=rescue, use_ref=on_cpu, interpret=on_cpu,
+        perfect_estimator=args.perfect))
+    t0 = time.perf_counter()
+    carry2, logs, cyc = run(carry)
+    jax.block_until_ready(carry2)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    carry2, logs, cyc = run(carry)
+    jax.block_until_ready(carry2)
+    wall = time.perf_counter() - t0
+    n_ticks = n_cycles * cfg.k_mpc
+    h = np.asarray(logs.base_pos)[:, :, 2]
+    err = np.asarray(logs.error)
+    conv = np.asarray(cyc.converged)
+    print(f"fleet: {B} scenarios x {n_ticks} ticks in {wall:.2f}s "
+          f"({B * n_ticks / wall:.0f} ticks/s aggregate, "
+          f"{B * n_cycles / wall:.0f} in-loop MPC solves/s; compile "
+          f"{t_compile:.0f}s); MPC conv {conv.mean():.4f} "
+          f"(rescue cap {rescue}); errors "
+          f"{int(err[-1].sum())}/{B}; final height "
+          f"mean {h[-1].mean():.4f} min {h[-1].min():.4f}")
+    return 0 if not err[-1].any() else 1
 
 
 def _run_fleet_mpc(args, cfg):
@@ -195,6 +249,8 @@ def main(argv=None) -> int:
 
     if args.fleet_mpc:
         return _run_fleet_mpc(args, cfg)
+    if args.fleet:
+        return _run_fleet(args, cfg, dtype)
 
     if args.host_loop:
         return _run_host_loop(args, cfg, dtype)
