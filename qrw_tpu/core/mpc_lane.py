@@ -11,9 +11,24 @@ faster end to end.
 
 The batch must be PHASE-SORTED: problems arranged as (P phases, C per
 phase), C a multiple of the kernel tile, every problem in a phase
-sharing the same stance support (e.g. the 16 gait offsets of a steady
-trot). The per-phase slot maps and shared proximal metrics come from
-build_phase_data.
+sharing the same stance support. The per-phase slot maps and shared
+proximal metrics come from build_phase_data.
+
+Phase-set coverage:
+  * gait_phase_fsteps builds the cyclic class set of any steady gait
+    (trot/walk/pacing/bounding/static, src/Gait.cpp:38-108); one gait
+    roll maps class p to (p-1) mod P, which is what the fleet rollout
+    (sim/fleet.py) rotates in-graph.
+  * transition_phase_fsteps enumerates the mixed windows of a gait
+    switch (src/Gait.cpp:197-219); these have no cyclic arithmetic —
+    match them by support offline (eval/parity_320) or let the support
+    guard + rescue stage serve them in the loop.
+  * Anything outside the provided set (unmodeled supports, switch
+    windows in a fleet run) is caught by the support guard, re-solved
+    by the capacity-bounded rescue stage when enabled, and otherwise
+    ships the stale plan with a cold-restart carry — so coverage gaps
+    degrade to the reference's own staleness contract, never to wrong
+    forces.
 """
 
 from __future__ import annotations
@@ -127,6 +142,100 @@ class PhaseStructure(NamedTuple):
     c_scale: float
 
 
+NOMINAL_XY = np.array([[0.195, 0.195, -0.195, -0.195],
+                       [0.147, -0.147, 0.147, -0.147]])
+
+
+def _support_to_fsteps(cfg: Config, support: np.ndarray) -> np.ndarray:
+    """(N_gait, 12) nominal footstep matrix from an (N, 4) 0/1 support:
+    stance feet at the nominal shoulder footholds, swing feet zeroed
+    (the MPC's swing marker, src/MPC.cpp:686-701)."""
+    N = cfg.n_steps
+    out = np.zeros((cfg.N_gait, 12), np.float32)
+    for i in range(N):
+        for j in range(4):
+            if support[i, j]:
+                out[i, 3 * j:3 * j + 2] = NOMINAL_XY[:, j]
+    return out
+
+
+def gait_phase_fsteps(cfg: Config, kind: str = "trot") -> np.ndarray:
+    """(P, N_gait, 12) nominal footstep matrices for gait `kind`, one
+    per distinct gait offset — the cyclic phase-class set of a steady
+    gait (src/Gait.cpp:38-108 defines the patterns). Convention: phase
+    p's window row i is pattern row (i - p) mod period, so one gait
+    roll advances phase p to (p - 1) mod P (core/mpc_lane
+    shift_lane_state direction). P is the fundamental period of the
+    support sequence (1 for static, n_steps for the walking gaits at
+    the default T_gait)."""
+    from qrw_tpu.core import gait as gait_mod
+    N = cfg.n_steps
+    pat = np.asarray(gait_mod._pattern(cfg, kind))
+    n_rows = int(np.sum(np.any(pat != 0, axis=1)))
+    sups = []
+    for p in range(n_rows):
+        idx = (np.arange(N) - p) % n_rows
+        sups.append(pat[idx] != 0)
+    # fundamental period (static: 1; sub-periodic patterns collapse)
+    P = n_rows
+    for q in range(1, n_rows):
+        if all((sups[p] == sups[(p + q) % n_rows]).all()
+               for p in range(n_rows)):
+            P = q
+            break
+    return np.stack([_support_to_fsteps(cfg, sups[p])
+                     for p in range(P)])
+
+
+def transition_phase_fsteps(cfg: Config, kind_a: str,
+                            kind_b: str) -> np.ndarray:
+    """(P, N_gait, 12) MIXED support windows occurring while a gait
+    switch rolls gait A out of the window and gait B in
+    (src/Gait.cpp:197-219 changeGait + rollGait): t rolls after the
+    switch from A-phase p, rows 0..N-t-1 still hold A and rows N-t..N-1
+    hold B's prefix. Enumerates every (p, t in 1..N-1) window, deduped.
+    These classes have NO cyclic phase arithmetic — match them by
+    support (eval/parity_320) or rely on the support guard + rescue
+    fallback in the fleet loop."""
+    from qrw_tpu.core import gait as gait_mod
+    N = cfg.n_steps
+    pat_a = np.asarray(gait_mod._pattern(cfg, kind_a))
+    pat_b = np.asarray(gait_mod._pattern(cfg, kind_b))
+    na = int(np.sum(np.any(pat_a != 0, axis=1)))
+    nb = int(np.sum(np.any(pat_b != 0, axis=1)))
+    seen = set()
+    sups = []
+    for p in range(na):
+        for t in range(1, N):
+            win = np.zeros((N, 4), bool)
+            for i in range(N):
+                if i < N - t:
+                    win[i] = pat_a[(i + t - p) % na] != 0
+                else:
+                    win[i] = pat_b[(i - (N - t)) % nb] != 0
+            key = win.tobytes()
+            if key not in seen:
+                seen.add(key)
+                sups.append(win)
+    return np.stack([_support_to_fsteps(cfg, s) for s in sups])
+
+
+def union_phase_fsteps(cfg: Config, sets) -> np.ndarray:
+    """Concatenate phase-class sets (deduped by support) into one
+    (P, N_gait, 12) array for a shared PhaseStructure — e.g. trot +
+    pacing + their transition windows for a switching capture."""
+    N = cfg.n_steps
+    seen = set()
+    out = []
+    for s in sets:
+        for fs in np.asarray(s):
+            key = (fs[:N, 0::3] != 0).tobytes()
+            if key not in seen:
+                seen.add(key)
+                out.append(fs)
+    return np.stack(out)
+
+
 def trot_phase_fsteps(cfg: Config, foothold=None) -> np.ndarray:
     """(P=N, N_gait, 12) nominal trot footstep matrices, one per gait
     offset (the bench/production steady-trot phase classes)."""
@@ -174,7 +283,13 @@ def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
     N = cfg.n_steps
     P = phase_fsteps.shape[0]
     if cap is None:
-        cap = 2 * N
+        # stance-pair capacity: cover the largest support in the set,
+        # rounded up to a multiple of 8 so n = 3*cap stays sublane-
+        # aligned (trot/pacing/bounding -> 2N; walk -> 3N; static /
+        # mixed windows with 4-stance rows -> up to 4N)
+        max_stance = int((np.asarray(phase_fsteps)[:, :N, 0::3] != 0)
+                         .reshape(P, -1).sum(axis=1).max())
+        cap = max(2 * N, -(-max_stance // 8) * 8)
     n = 3 * cap
 
     cone = qp.ReducedConeStructure(cap, cfg.mu)
@@ -277,7 +392,8 @@ def _tile_oh2(ps: PhaseStructure, phases_of, tile: int):
 
 def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
                          sol, rescue_cap: int, rescue_settings,
-                         interpret: bool):
+                         interpret: bool, c_scale: float = 1.0,
+                         qp_cap: int = None):
     """Second-stage rescue: re-solve up to rescue_cap failed lanes cold
     through the per-problem support-reduced Cholesky path. Returns the
     patched (f_full, y_full, sol) with rescued lanes marked converged.
@@ -306,10 +422,13 @@ def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
     r_tile = R if R <= 64 else 64
     _, st_r, sol_r, ok_r = mpc_mod.solve_mpc_batch_reduced(
         cfg, xb, fb, settings=rescue_settings, tile=r_tile,
-        cap=2 * N, interpret=interpret)
+        cap=(2 * N if qp_cap is None else qp_cap), interpret=interpret)
     good = sel_bad & sol_r.converged & ok_r                 # (R,)
     f_r = st_r.f.reshape(R, 4 * N, 3).transpose(1, 2, 0)    # (4N,3,R)
-    y_r = st_r.y.reshape(R, 4 * N, 5).transpose(1, 2, 0)
+    # the reduced path's duals are in PHYSICAL units; the phase solver's
+    # carry is on the c-scaled cost (y_phase = c_scale * y_physical) —
+    # rescale so the rescued lane's next warm start is consistent
+    y_r = c_scale * st_r.y.reshape(R, 4 * N, 5).transpose(1, 2, 0)
     g3 = good[None, None, :]
     f_full = f_full.at[:, :, order].set(
         jnp.where(g3, f_r, f_full[:, :, order]))
@@ -425,7 +544,7 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
     if rescue_cap:
         f_full, y_full, sol = _rescue_failed_lanes(
             cfg, xrefs, fsteps, f_full, y_full, sol, rescue_cap,
-            rescue_settings, interpret)
+            rescue_settings, interpret, c_scale=d.c_scale, qp_cap=cap)
 
     # Divergence handling (the safeguard box in ops/qp_phase bounds the
     # rare non-convergent lanes instead of NaN): a failed lane SHIPS ITS

@@ -67,20 +67,24 @@ class RolloutLog(NamedTuple):
 def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
             k0=0, v_ref_schedule=None, f_ext_schedule=None,
             perfect_estimator: bool = False,
-            terrain=None,
+            terrain=None, joystick_schedule=None,
             with_logs: bool = True) -> Tuple[RolloutCarry, RolloutLog]:
     """Run `n_ticks` closed-loop control ticks starting at tick `k0`.
 
     v_ref_schedule: optional (n_ticks, 6) velocity commands (defaults to
     the predefined profile cfg.velID). f_ext_schedule: optional
     (n_ticks, 3) world-frame base force (fault injection, sim/faults.py).
-    terrain: optional sim.terrain.Terrain height field."""
+    terrain: optional sim.terrain.Terrain height field.
+    joystick_schedule: optional (n_ticks,) int32 gait-switch codes
+    (src/Gait.cpp:197-219: 1 pacing, 2 bounding, 3 trot, 4 static;
+    0 = no change)."""
     cfg = ctl.cfg
 
     def loop(carry, inp):
-        k, v_ref, f_ext = inp
+        k, v_ref, f_ext, jcode = inp
         cs, ss, device = carry
         cs, result, telem = compute(ctl, cs, device, k, v_ref6=v_ref,
+                                    joystick_code=jcode,
                                     perfect_estimator=perfect_estimator,
                                     return_telemetry=True)
         ss, device = step(cfg, ctl.model, ss, result.P, result.D,
@@ -117,6 +121,8 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
         )(ks)
     if f_ext_schedule is None:
         f_ext_schedule = jnp.zeros((n_ticks, 3), carry.sim_state.q.dtype)
+    if joystick_schedule is None:
+        joystick_schedule = jnp.zeros((n_ticks,), jnp.int32)
 
     # initial measurements: one zero-torque, zero-time step is avoided by
     # synthesizing directly from the sim state
@@ -133,7 +139,8 @@ def rollout(ctl: Controller, carry: RolloutCarry, n_ticks: int,
     )
     (cs, ss, _), logs = lax.scan(loop,
                                  (carry.ctl_state, ss0, device0),
-                                 (ks, v_ref_schedule, f_ext_schedule))
+                                 (ks, v_ref_schedule, f_ext_schedule,
+                                  joystick_schedule))
     return RolloutCarry(ctl_state=cs, sim_state=ss), logs
 
 

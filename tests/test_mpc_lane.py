@@ -257,3 +257,122 @@ def test_rescue_respects_capacity():
         n_iters=1, tile=4, interpret=True, rescue_cap=2))()
     conv = np.asarray(sol.converged)
     assert conv.sum() == 2, conv
+
+
+# ----------------------------------------------------------------------
+# Generalized phase-class sets (walk / pacing / bounding + transitions)
+# ----------------------------------------------------------------------
+
+def _batch_for(phase_fs, phases, per_phase, seed=0, vmax=0.4):
+    rng = np.random.default_rng(seed)
+    B = len(phases) * per_phase
+    xrefs = np.zeros((12, N + 1, B), np.float32)
+    xrefs[2, :, :] = H0
+    xrefs[:, 0, :] += rng.normal(scale=0.02, size=(12, B)).astype(
+        np.float32)
+    xrefs[6, 1:, :] = rng.uniform(0, vmax, B).astype(np.float32)
+    fsteps = np.zeros((CFG.N_gait, 12, B), np.float32)
+    for i, p in enumerate(phases):
+        fsteps[:, :, i * per_phase:(i + 1) * per_phase] = \
+            phase_fs[p][:, :, None]
+    return xrefs, fsteps
+
+
+def test_gait_phase_set_matches_legacy_trot():
+    """gait_phase_fsteps('trot') spans the same 16 supports as the
+    legacy trot_phase_fsteps and obeys the cyclic roll convention
+    (phase p-1's window is phase p's shifted one row)."""
+    legacy = ml.trot_phase_fsteps(CFG)
+    gen = ml.gait_phase_fsteps(CFG, "trot")
+    assert gen.shape[0] == 16
+    sup = lambda fs: (fs[:N, 0::3] != 0).tobytes()
+    assert {sup(f) for f in legacy} == {sup(f) for f in gen}
+    for p in range(16):
+        a = gen[p][:N, 0::3] != 0
+        b = gen[(p - 1) % 16][:N, 0::3] != 0
+        assert (b[:-1] == a[1:]).all(), p
+
+
+def test_pacing_phase_set_solves_to_oracle():
+    """A pacing-gait phase set (src/Gait.cpp:70-85) solves through the
+    phase kernel to oracle accuracy."""
+    phase_fs = ml.gait_phase_fsteps(CFG, "pacing")
+    assert phase_fs.shape[0] == 16
+    ps = ml.build_phase_data(CFG, phase_fs)
+    xrefs, fsteps = _batch_for(phase_fs, [0, 7], 2, vmax=0.3)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps,
+        np.array([0, 7]), n_iters=600, tile=2, interpret=True))()
+    assert bool(np.asarray(sol.converged).all())
+    A_full = mpc.cone_matrix(N, CFG.mu)
+    for b in [0, 2]:
+        H, qlin, l, u, *_ = mpc.build_qp(CFG, jnp.asarray(xrefs[..., b]),
+                                         jnp.asarray(fsteps[..., b]))
+        f_star = solve_qp_oracle(np.asarray(H, np.float64),
+                                 np.asarray(qlin, np.float64), A_full,
+                                 np.asarray(l, np.float64),
+                                 np.asarray(u, np.float64), tol=1e-10)
+        got = np.asarray(st.f[..., b]).reshape(-1)
+        assert np.abs((got - f_star)[:12]).max() < 0.1
+        assert np.abs(got - f_star).max() < 1.5
+
+
+def test_walk_phase_set_raises_cap_and_solves():
+    """The 4-phase walk has 3 stance feet per row: build_phase_data must
+    auto-raise the stance capacity to 3N and the solver must still
+    converge with swing forces exactly zero."""
+    phase_fs = ml.gait_phase_fsteps(CFG, "walk")
+    ps = ml.build_phase_data(CFG, phase_fs)
+    assert ps.cap == 3 * N, ps.cap
+    xrefs, fsteps = _batch_for(phase_fs, [2], 2, vmax=0.2)
+    x_f, st, sol = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([2]),
+        n_iters=800, tile=2, interpret=True))()
+    assert bool(np.asarray(sol.converged).all())
+    sw = ~np.repeat(np.asarray(ps.supports[2]), 3)
+    for b in range(2):
+        got = np.asarray(st.f[..., b]).reshape(-1)
+        np.testing.assert_allclose(got[sw], 0.0, atol=0.0)
+        fz = got.reshape(N, 4, 3)[:, :, 2]
+        stance = np.asarray(ps.supports[2]).reshape(N, 4)
+        W = CFG.mass * CFG.gravity
+        assert abs(np.median(fz[stance].reshape(N, 3).sum(axis=1)) - W) \
+            < 0.4 * W
+
+
+def test_static_phase_set_collapses_to_one():
+    assert ml.gait_phase_fsteps(CFG, "static").shape[0] == 1
+
+
+def test_transition_set_covers_gait_switch_capture():
+    """Closed-loop capture with a joystick gait switch trot -> pacing
+    (src/Gait.cpp:197-219): EVERY captured MPC cycle's support must
+    match the union of {trot classes, pacing classes, trot->pacing
+    transition windows} — phase_match_rate 1.0 on a switching capture
+    (VERDICT r3 #5)."""
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+    n = 400
+    ctl, carry = make_rollout(CFG, dtype=jnp.float64)
+    # one-tick pulse: the reference's joystick emits the code once per
+    # button press (scripts/Joystick.py:144-158 clears the button flag)
+    js = np.zeros(n, np.int32)
+    js[200] = 1                        # switch to pacing at tick 200
+    carry, logs = jax.jit(lambda c: rollout(
+        ctl, c, n, v_ref_schedule=jnp.zeros((n, 6), jnp.float64),
+        joystick_schedule=jnp.asarray(js), perfect_estimator=True))(
+            carry)
+    assert not bool(np.asarray(logs.error).any())
+    union = ml.union_phase_fsteps(CFG, [
+        ml.gait_phase_fsteps(CFG, "trot"),
+        ml.gait_phase_fsteps(CFG, "pacing"),
+        ml.transition_phase_fsteps(CFG, "trot", "pacing")])
+    sups = (union[:, :N, 0::3] != 0).reshape(union.shape[0], -1)
+    fsteps = np.asarray(logs.mpc_fsteps)[::CFG.k_mpc]
+    have = (fsteps[:, :N, 0::3] != 0).reshape(fsteps.shape[0], -1)
+    matched = np.array([(sups == h).all(axis=1).any() for h in have])
+    assert matched.all(), np.where(~matched)[0]
+    # and the capture really switched: both pure-gait sets are hit
+    pac = (ml.gait_phase_fsteps(CFG, "pacing")[:, :N, 0::3] != 0)
+    pac = pac.reshape(16, -1)
+    hit_pac = np.array([(pac == h).all(axis=1).any() for h in have])
+    assert hit_pac.any()
