@@ -28,6 +28,7 @@ Three solver modes, most to least TPU-native:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -78,10 +79,19 @@ def phase_batch(cfg, phase_ids, per_phase: int, rng):
 
 
 def run_phase_mode(args, cfg, report):
-    """Benchmark the lane-major phase solver (ops/qp_phase): steady-state
-    warm cycles measured as ONE scanned dispatch (the tunnel RTT is
-    ~25 ms, far above the true cycle time), plus a straggler force-error
-    bound for the non-converged tail."""
+    """Benchmark the lane-major phase solver (ops/qp_phase).
+
+    HEADLINE: the ROLLED-GAIT cadence — every warm cycle advances the
+    gait one MPC step (shift=True warm carry, per-tile phases rotated
+    p -> p-1, footstep matrices re-gathered for the new phase), exactly
+    the 50 Hz fleet pattern whose accuracy PARITY.md quotes (VERDICT r3
+    #3), with the capacity-bounded rescue stage in the graph (the
+    production configuration). The easier FIXED-SUPPORT re-solve chain
+    (the round-3 headline) is reported separately. Steady-state warm
+    cycles are measured as ONE scanned dispatch (tunnel RTT ~25 ms far
+    exceeds the true cycle time). The straggler bound compares SHIPPED
+    plans (x_f forces) of a 1x- vs 3x-budget solve over failed lanes —
+    not the zeroed warm carry (VERDICT r3 #2)."""
     import jax
     import jax.numpy as jnp
     from qrw_tpu.core import mpc_lane as ml
@@ -90,18 +100,23 @@ def run_phase_mode(args, cfg, report):
     if args.smoke:
         phase_ids, per_phase, tile = [0, 8], 4, 4
         cold_iters, warm_iters, R = 600, 600, 2
+        rescue_cap = 2
     else:
         phase_ids = list(range(cfg.n_steps))
         tile = args.tile or 128
         per_phase = (args.batch or 4096) // len(phase_ids)
-        cold_iters, warm_iters, R = 800, args.warm_iters or 250, 20
+        cold_iters, warm_iters, R = 800, args.warm_iters or 300, 20
+        rescue_cap = (args.batch or 4096) // 32
     interpret = bool(args.smoke)
     xr_np, fs_np, phase_fs = phase_batch(cfg, phase_ids, per_phase, rng)
     B = xr_np.shape[-1]
+    P = cfg.n_steps
     phases_of = np.repeat(phase_ids, per_phase // tile)
+    n_tiles = B // tile
     xrefs = jnp.asarray(xr_np)
     fsteps = jnp.asarray(fs_np)
     ps = ml.build_phase_data(cfg, phase_fs)
+    phase_fs_j = jnp.asarray(phase_fs, jnp.float32)  # (P, N_gait, 12)
 
     cold = jax.jit(lambda x, f: ml.solve_mpc_batch_phase(
         cfg, x, f, ps, phases_of, n_iters=cold_iters, tile=tile,
@@ -115,7 +130,32 @@ def run_phase_mode(args, cfg, report):
     float(jnp.sum(sol0.pri_res))
     t_cold = time.perf_counter() - t0
 
-    def chain(x0, st, keys):
+    def fsteps_of(ph):
+        """(N_gait, 12, B) footstep matrices for per-tile phases ph."""
+        fs_t = phase_fs_j[ph]                        # (n_tiles, Ng, 12)
+        return jnp.repeat(fs_t, tile, axis=0).transpose(1, 2, 0)
+
+    def rolled_chain(x0, st, keys, ph0, rcap):
+        """The production cadence: gait rolls one MPC step per cycle."""
+        def body(carry, key):
+            stc, xr, ph = carry
+            xr = xr.at[:, 0, :].add(
+                0.002 * jax.random.normal(key, (12, B), jnp.float32))
+            fs = fsteps_of(ph)
+            _, st2, sol = ml.solve_mpc_batch_phase(
+                cfg, xr, fs, ps, ph, state=stc, shift=True,
+                n_iters=warm_iters, tile=tile, interpret=interpret,
+                rescue_cap=rcap)
+            return ((st2, xr, (ph - 1) % P),
+                    (jnp.mean(sol.converged.astype(jnp.float32)),
+                     sol.iters))
+        (st2, xr2, ph2), (convs, iters) = jax.lax.scan(
+            body, (st, x0, ph0), keys)
+        return convs, iters, st2, xr2, ph2
+
+    def fixed_chain(x0, st, keys):
+        """The round-3 fixed-support re-solve chain (easier warm start;
+        kept for comparison)."""
         def body(carry, key):
             stc, xr = carry
             xr = xr.at[:, 0, :].add(
@@ -127,34 +167,79 @@ def run_phase_mode(args, cfg, report):
         (st2, xr2), convs = jax.lax.scan(body, (st, x0), keys)
         return convs, st2, xr2
 
-    chain_j = jax.jit(chain)
+    ph0 = jnp.asarray(phases_of, jnp.int32)
     keys = jax.random.split(jax.random.PRNGKey(0), R)
+
+    # ---- headline: rolled cadence with rescue -----------------------
+    chain_j = jax.jit(functools.partial(rolled_chain, rcap=rescue_cap))
     t0 = time.perf_counter()
-    convs, st1, xr1 = chain_j(xrefs, st0, keys)
+    convs, iters, st1, xr1, ph1 = chain_j(xrefs, st0, keys, ph0)
     float(jnp.sum(convs))
     t_warm_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    convs, st1, xr1 = chain_j(xrefs, st0, keys)
+    convs, iters, st1, xr1, ph1 = chain_j(xrefs, st0, keys, ph0)
     convs = np.asarray(convs)
     dt = (time.perf_counter() - t0) / R
     solves_per_s = B / dt
     conv = float(convs.mean())
+    iters_np = np.asarray(iters).reshape(-1)
+    report["iters_p50"] = float(np.percentile(iters_np, 50))
+    report["iters_p99"] = float(np.percentile(iters_np, 99))
+    report["rescue_cap"] = int(rescue_cap)
 
-    # straggler tail bound: re-solve the last cycle from the same carry
-    # with 3x the budget; max |force diff| over non-converged lanes
+    # ---- rolled cadence WITHOUT rescue (tail characterization) ------
+    chain_nr = jax.jit(functools.partial(rolled_chain, rcap=0))
+    convs_nr, *_ = chain_nr(xrefs, st0, keys, ph0)
+    float(jnp.sum(convs_nr))
+    t0 = time.perf_counter()
+    convs_nr, _, st1n, xr1n, ph1n = chain_nr(xrefs, st0, keys, ph0)
+    convs_nr = np.asarray(convs_nr)
+    dt_nr = (time.perf_counter() - t0) / R
+    report["warm_conv_no_rescue"] = round(
+        float(np.asarray(convs_nr).mean()), 4)
+    report["rescue_cost_frac"] = round(max(0.0, dt / dt_nr - 1.0), 4)
+
+    # ---- fixed-support chain (round-3 definition, secondary) --------
+    fixed_j = jax.jit(fixed_chain)
+    convs_f, st1f, xr1f = fixed_j(xrefs, st0, keys)
+    t0 = time.perf_counter()
+    convs_f, st1f, xr1f = fixed_j(xrefs, st0, keys)
+    np.asarray(convs_f)
+    dt_f = (time.perf_counter() - t0) / R
+    report["fixed_phase_solves_per_s"] = round(B / dt_f, 1)
+    report["fixed_phase_warm_conv"] = round(
+        float(np.asarray(convs_f).mean()), 4)
+
+    # ---- straggler bound on the SHIPPED plan ------------------------
+    # Re-solve the next rolled cycle from the post-chain carry at 1x
+    # and 3x budgets, NO rescue; over lanes where the 1x solve failed,
+    # compare the forces both solves actually EMITTED (x_f rows 12:24 —
+    # the stale plan for the failed lane vs the converged plan). Lanes
+    # failing at both budgets are counted separately (their diff says
+    # nothing about the stale plan's quality).
+    fs1 = fsteps_of(ph1n)
     warm_a = jax.jit(lambda x, st: ml.solve_mpc_batch_phase(
-        cfg, x, fsteps, ps, phases_of, state=st, n_iters=warm_iters,
-        tile=tile, interpret=interpret))
+        cfg, x, fs1, ps, ph1n, state=st, shift=True,
+        n_iters=warm_iters, tile=tile, interpret=interpret))
     warm_b = jax.jit(lambda x, st: ml.solve_mpc_batch_phase(
-        cfg, x, fsteps, ps, phases_of, state=st,
+        cfg, x, fs1, ps, ph1n, state=st, shift=True,
         n_iters=3 * warm_iters, tile=tile, interpret=interpret))
-    xa, sta, sola = warm_a(xr1, st1)
-    xb, stb, solb = warm_b(xr1, st1)
-    bad = ~np.asarray(sola.converged)
-    dfa = np.abs(np.asarray(sta.f) - np.asarray(stb.f)).max(axis=(0, 1))
-    strag = float(dfa[bad].max()) if bad.any() else 0.0
+    xa, sta, sola = warm_a(xr1n, st1n)
+    xb, stb, solb = warm_b(xr1n, st1n)
+    bad_a = ~np.asarray(sola.converged)
+    bad_b = ~np.asarray(solb.converged)
+    sel = bad_a & ~bad_b
+    f_ship_a = np.asarray(xa)[12:, :, :]       # (12, N, B) shipped
+    f_ship_b = np.asarray(xb)[12:, :, :]
+    dfa = np.abs(f_ship_a - f_ship_b).max(axis=(0, 1))
+    strag = float(dfa[sel].max()) if sel.any() else 0.0
     report["straggler_force_err_max_N"] = round(strag, 5)
-    report["straggler_frac"] = round(float(bad.mean()), 5)
+    report["straggler_force_err_first_step_N"] = round(
+        float(np.abs(f_ship_a[:, 0, :] - f_ship_b[:, 0, :])
+              .max(axis=0)[sel].max()) if sel.any() else 0.0, 5)
+    report["straggler_frac"] = round(float(bad_a.mean()), 5)
+    report["straggler_both_budgets_failed_frac"] = round(
+        float((bad_a & bad_b).mean()), 5)
 
     # speed-of-light: per warm solve, all matmul work shared-operand
     N = cfg.n_steps
@@ -183,14 +268,71 @@ def run_phase_mode(args, cfg, report):
                    "per solve is what remains) plus ~5 ms/cycle of "
                    "lane-major XLA assembly",
     }
-    print(f"phase mode: warm {solves_per_s:.0f} solves/s over {R}-cycle "
-          f"scanned chain (conv {conv:.4f}); cold {B / t_cold:.0f}/s "
-          f"single dispatch (conv {conv_cold:.3f}, tunnel RTT "
-          f"included); straggler tail {report['straggler_frac']:.3%} "
-          f"bounded by {strag:.3g} N", file=sys.stderr)
+    print(f"phase mode (ROLLED gait cadence + rescue): warm "
+          f"{solves_per_s:.0f} solves/s over {R}-cycle scanned chain "
+          f"(conv {conv:.4f}, no-rescue "
+          f"{report['warm_conv_no_rescue']:.4f}, rescue cost "
+          f"{report['rescue_cost_frac']:.1%}); fixed-support chain "
+          f"{report['fixed_phase_solves_per_s']:.0f}/s (conv "
+          f"{report['fixed_phase_warm_conv']:.4f}); cold "
+          f"{B / t_cold:.0f}/s single dispatch (conv {conv_cold:.3f}, "
+          f"tunnel RTT included); iters p50/p99 "
+          f"{report['iters_p50']:.0f}/{report['iters_p99']:.0f}; "
+          f"straggler tail {report['straggler_frac']:.3%}, shipped-plan "
+          f"err {strag:.3g} N (both-budgets-failed "
+          f"{report['straggler_both_budgets_failed_frac']:.3%})",
+          file=sys.stderr)
     report["batch"] = B
     return (solves_per_s, conv, t_cold, conv_cold, t_compile,
             t_warm_compile)
+
+
+def run_fleet_bench(args, cfg, report):
+    """Closed-loop fleet throughput: B simultaneous scenarios whose MPC
+    solves ALL run through one lane-major phase-solver dispatch per
+    50 Hz cycle (sim/fleet.py) — the production path in the production
+    loop (VERDICT r3 #1). Reports aggregate closed-loop ticks/s, the
+    in-loop MPC solve rate, and the in-loop convergence rate."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc_lane as ml
+    from qrw_tpu.sim import fleet as fl
+
+    if args.smoke:
+        B, tile, n_cycles, rescue = 4, 1, 2, 2
+        use_ref = interpret = True
+    else:
+        B, tile, n_cycles, rescue = 1024, 128, 10, 32
+        use_ref = interpret = False
+    ps = ml.build_phase_data(cfg, ml.trot_phase_fsteps(cfg))
+    ctl, carry = fl.make_fleet(cfg, B, ps, tile=tile, seed=0)
+    run = jax.jit(lambda c: fl.fleet_rollout(
+        ctl, c, n_cycles, ps, tile=tile, n_iters=300,
+        rescue_cap=rescue, use_ref=use_ref, interpret=interpret,
+        perfect_estimator=True, with_logs=False))
+    t0 = time.perf_counter()
+    carry2, _, cyc = run(carry)
+    conv = float(jnp.mean(cyc.converged.astype(jnp.float32)))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    carry2, _, cyc = run(carry2)
+    conv = float(jnp.mean(cyc.converged.astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    n_ticks = n_cycles * cfg.k_mpc
+    err = float(jnp.mean(
+        carry2.ctl_states.error.astype(jnp.float32)))
+    report["fleet_batch"] = B
+    report["fleet_ticks_per_s"] = round(B * n_ticks / dt, 1)
+    report["fleet_inloop_mpc_solves_per_s"] = round(
+        B * n_cycles / dt, 1)
+    report["fleet_mpc_conv"] = round(conv, 4)
+    report["fleet_error_frac"] = round(err, 4)
+    report["fleet_compile_s"] = round(t_compile, 1)
+    print(f"closed-loop fleet ({B} scenarios, phase solver in the "
+          f"graph): {B * n_ticks / dt:.0f} ticks/s aggregate, "
+          f"{B * n_cycles / dt:.0f} in-loop MPC solves/s, conv "
+          f"{conv:.4f}, error frac {err:.4f} (compile {t_compile:.0f}s)",
+          file=sys.stderr)
 
 
 def main():
@@ -343,6 +485,13 @@ def main():
           f"compile {t_compile:.0f}s cold / {t_warm_compile:.0f}s warm); "
           f"warm conv {conv:.3f}",
           file=sys.stderr)
+
+    if args.mode == "phase":
+        try:
+            run_fleet_bench(args, cfg, report)
+        except Exception as e:
+            print(f"closed-loop fleet bench skipped: {e!r}",
+                  file=sys.stderr)
 
     # ---- speed-of-light analysis (BASELINE.md: "rollout + QP kernel
     # speed-of-light per chip"). Work model of one warm solve:
@@ -748,7 +897,8 @@ def dist_proc():
         jax.shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
         check_vma=False)(cycle))
     float(run(xr, fs))           # compile + first cycle
-    reps = 3
+    float(run(xr, fs))           # one warm cycle before clocking
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         float(run(xr, fs))
@@ -760,8 +910,13 @@ def dist_proc():
 
 
 def run_dist_scaling(report):
-    """Launch the 2-process jax.distributed harness + a 1-process
-    pinned baseline; record DCN-style weak-scaling efficiency."""
+    """jax.distributed weak-scaling harness at 1/2/4 processes, each
+    point repeated until the spread is reported honestly: every launch
+    is a fresh cluster (compile excluded inside dist_proc, 10 clocked
+    reps), the whole 1/2/4 ladder is run `ROUNDS` times, and the
+    efficiency is reported as mean +/- max-deviation over rounds
+    (VERDICT r3 #7: the 3-rep single-shot number varied 0.81 vs 1.05
+    between runs)."""
     import os as _os
     import socket
     import subprocess
@@ -795,20 +950,31 @@ def run_dist_scaling(report):
                 return json.loads(ln)
         raise RuntimeError("no JSON from rank 0")
 
-    one = launch(1)
-    two = launch(2)
-    eff = (two["solves_per_s_total"]
-           / (2 * one["solves_per_s_total"]))
-    report["scaling_efficiency_2proc_dcn"] = round(float(eff), 3)
+    n_cores = _os.cpu_count() or 2
+    points = [n for n in (1, 2, 4) if n <= n_cores]
+    ROUNDS = 5
+    rates = {n: [] for n in points}
+    for _ in range(ROUNDS):
+        for n in points:
+            rates[n].append(launch(n)["solves_per_s_total"])
+    base = np.asarray(rates[1])
+    for n in points[1:]:
+        effs = np.asarray(rates[n]) / (n * base)
+        key = f"scaling_efficiency_{n}proc_dcn"
+        report[key] = round(float(effs.mean()), 3)
+        report[key + "_spread"] = round(float(
+            np.abs(effs - effs.mean()).max()), 3)
+        print(f"scaling ({n}-process jax.distributed, localhost "
+              f"DCN-style, {ROUNDS} rounds): efficiency "
+              f"{effs.mean():.2f} +/- {np.abs(effs - effs.mean()).max():.2f} "
+              f"({np.asarray(rates[n]).mean():.0f} aggregate vs "
+              f"{base.mean():.0f} x{n})", file=sys.stderr)
+    report["scaling_dcn_rounds"] = ROUNDS
     report["scaling_2proc_note"] = (
-        "weak scaling over a 2-process jax.distributed CPU cluster on "
-        "localhost (1 pinned core/device per process, per-cycle psum "
-        "collective across processes); methodology stand-in for the "
-        "2-host DCN target on a single-host driver")
-    print(f"scaling (2-process jax.distributed, localhost DCN-style): "
-          f"efficiency {eff:.2f} ({two['solves_per_s_total']:.0f} "
-          f"aggregate vs {one['solves_per_s_total']:.0f} x2)",
-          file=sys.stderr)
+        "weak scaling over a jax.distributed CPU cluster on localhost "
+        "(1 pinned core/device per process, per-cycle psum collective "
+        "across processes); methodology stand-in for the 2-host DCN "
+        "target on a single-host driver")
 
 
 def scaling_cpu():

@@ -194,7 +194,7 @@ def solve_phase_warm_streams(cfg, xrefs, fsteps):
         xr = jnp.asarray(np.moveaxis(xrefs[idx], 0, -1), jnp.float32)
         fs = jnp.asarray(np.moveaxis(fsteps[idx], 0, -1), jnp.float32)
         x_f, st, sol = solve(xr, fs, tuple(phases[idx]), st)
-        out[idx] = np.asarray(st.f).reshape(-1, P).T             if False else np.asarray(st.f).reshape(4 * N * 3, P).T
+        out[idx] = np.asarray(st.f).reshape(4 * N * 3, P).T
         conv[idx] = np.asarray(sol.converged)
     return out, conv, matched
 
@@ -342,6 +342,11 @@ def main(argv=None):
     fz_scale = cfg.mass * cfg.gravity / 2.0   # per-foot stance force scale
 
     def stats_sel(f, sel):
+        if not np.any(sel):
+            # short --cycles runs or captures whose startup segment never
+            # phase-matches can select nothing; report that rather than
+            # crashing on an empty max
+            return {"n_selected": 0}
         d = (f - f_star)[sel]
         d1 = d.reshape(-1, N, 12)[:, 0, :]
         return {
