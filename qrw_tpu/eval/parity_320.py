@@ -32,25 +32,50 @@ import sys
 import numpy as np
 
 
-def capture(cfg, n_cycles: int, perfect: bool = False):
+SWITCH_CODES = {"pacing": 1, "bounding": 2, "trot": 3, "static": 4}
+
+
+def capture(cfg, n_cycles: int, perfect: bool = False,
+            gait: str = "trot", switch_to: str = None):
     """(C, 12, N+1) xrefs + (C, N_gait, 12) fsteps from a closed-loop
-    trot driven by the velID=2 profile (f64, reference tolerances).
+    run driven by the velID=2 profile (f64, reference tolerances).
     perfect=False (default) runs the REAL complementary-filter estimator
     — the reference's shipping configuration
-    (scripts/Controller.py:102-111)."""
+    (scripts/Controller.py:102-111). switch_to injects a one-tick
+    joystick gait-switch pulse at the capture midpoint
+    (src/Gait.cpp:197-219)."""
     import jax
     import jax.numpy as jnp
     from qrw_tpu.sim.rollout import make_rollout, rollout
 
     n_ticks = n_cycles * cfg.k_mpc
-    ctl, carry = make_rollout(cfg, dtype=jnp.float64)
-    _, logs = jax.jit(lambda c: rollout(ctl, c, n_ticks,
-                                        perfect_estimator=perfect))(carry)
+    ctl, carry = make_rollout(cfg, dtype=jnp.float64, gait=gait)
+    js = None
+    if switch_to is not None:
+        js_np = np.zeros(n_ticks, np.int32)
+        js_np[(n_cycles // 2) * cfg.k_mpc] = SWITCH_CODES[switch_to]
+        js = jnp.asarray(js_np)
+    _, logs = jax.jit(lambda c: rollout(
+        ctl, c, n_ticks, perfect_estimator=perfect,
+        joystick_schedule=js))(carry)
     assert not bool(np.asarray(logs.error).any()), "capture run latched"
     ticks = np.arange(0, n_ticks, cfg.k_mpc)
     return (np.asarray(logs.mpc_xref)[ticks],
             np.asarray(logs.mpc_fsteps)[ticks],
             np.asarray(logs.q_mes)[ticks])
+
+
+def build_phase_set(cfg, gait: str, switch_to: str = None):
+    """(P, N_gait, 12) phase classes covering the capture: the cyclic
+    set of `gait`, plus — for a switching capture — the target gait's
+    set and the mixed transition windows."""
+    from qrw_tpu.core import mpc_lane as ml
+    if switch_to is None:
+        return ml.gait_phase_fsteps(cfg, gait)
+    return ml.union_phase_fsteps(cfg, [
+        ml.gait_phase_fsteps(cfg, gait),
+        ml.gait_phase_fsteps(cfg, switch_to),
+        ml.transition_phase_fsteps(cfg, gait, switch_to)])
 
 
 def solve_oracle(cfg, xrefs, fsteps):
@@ -118,22 +143,23 @@ def solve_pallas_seq(cfg, xrefs, fsteps, interpret: bool):
             np.asarray(conv_all, bool).reshape(C))
 
 
-def solve_phase_cold(cfg, xrefs, fsteps):
+def solve_phase_cold(cfg, xrefs, fsteps, phase_fs=None):
     """The lane-major phase solver (the production throughput path,
     core/mpc_lane) on every captured cycle, cold at the production
     300-iteration budget, via the pure-XLA reference path (identical
     update equations to the pallas kernel —
     tests/test_mpc_lane.py::test_kernel_matches_ref_path). Cycles whose
-    stance support is not one of the steady-trot phase classes are
-    excluded (reported as phase_match_rate). Returns (forces (C, 12N),
-    conv (C,), matched (C,))."""
+    stance support is not in the phase-class set are excluded (reported
+    as phase_match_rate). Returns (forces (C, 12N), conv (C,),
+    matched (C,))."""
     import jax
     import jax.numpy as jnp
     from qrw_tpu.core import mpc_lane as ml
 
     C = xrefs.shape[0]
     N = cfg.n_steps
-    phase_fs = ml.trot_phase_fsteps(cfg)
+    if phase_fs is None:
+        phase_fs = ml.trot_phase_fsteps(cfg)
     ps = ml.build_phase_data(cfg, phase_fs)
     sup = (fsteps[:, :N, 0::3] != 0).reshape(C, -1)      # (C, 4N)
     phases = np.full(C, -1, np.int32)
@@ -155,20 +181,23 @@ def solve_phase_cold(cfg, xrefs, fsteps):
     return out, conv, matched
 
 
-def solve_phase_warm_streams(cfg, xrefs, fsteps):
+def solve_phase_warm_streams(cfg, xrefs, fsteps, phase_fs=None):
     """The phase solver in its production FLEET pattern: the captured
     cycle sequence is grouped into 16 phase-streams (consecutive cycles
     rotate through the gait offsets), each stream warm-starting from its
     own previous solve (one gait period earlier). All 16 streams solve
     in parallel per round at the production 300-iteration budget.
-    Returns (forces (C, 12N), conv (C,), matched (C,))."""
+    Rounds containing an unmatched cycle (e.g. a gait-switch window)
+    reset the warm carry and are skipped. Returns (forces (C, 12N),
+    conv (C,), matched (C,))."""
     import jax
     import jax.numpy as jnp
     from qrw_tpu.core import mpc_lane as ml
 
     C = xrefs.shape[0]
     N = cfg.n_steps
-    phase_fs = ml.trot_phase_fsteps(cfg)
+    if phase_fs is None:
+        phase_fs = ml.trot_phase_fsteps(cfg)
     ps = ml.build_phase_data(cfg, phase_fs)
     sup = (fsteps[:, :N, 0::3] != 0).reshape(C, -1)
     phases = np.full(C, -1, np.int32)
@@ -257,6 +286,14 @@ def main(argv=None):
     ap.add_argument("--perfect-estimator", action="store_true",
                     help="capture with ground-truth state injection "
                          "(default: the real complementary filter)")
+    ap.add_argument("--gait", default="trot",
+                    choices=["trot", "walk", "pacing", "bounding"],
+                    help="gait of the capture (phase set matches)")
+    ap.add_argument("--switch", default=None, metavar="TO",
+                    choices=["trot", "pacing", "bounding", "static"],
+                    help="inject a joystick gait switch at the capture "
+                         "midpoint; the phase set becomes the union of "
+                         "both gaits' classes + transition windows")
     ap.add_argument("--backend", choices=["auto", "pallas", "interpret"],
                     default="auto")
     ap.add_argument("--cpu", action="store_true")
@@ -296,13 +333,16 @@ def main(argv=None):
     cpu0 = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu0):
         xrefs, fsteps, q_mes = capture(cfg, args.cycles,
-                                       perfect=args.perfect_estimator)
+                                       perfect=args.perfect_estimator,
+                                       gait=args.gait,
+                                       switch_to=args.switch)
+        phase_fs = build_phase_set(cfg, args.gait, args.switch)
         f_star = solve_oracle(cfg, xrefs, fsteps)
         f_ref64 = solve_xla64_seq(cfg, xrefs, fsteps)
-        f_phase, conv_phase, matched = solve_phase_cold(cfg, xrefs,
-                                                        fsteps)
+        f_phase, conv_phase, matched = solve_phase_cold(
+            cfg, xrefs, fsteps, phase_fs)
         f_ph_w, conv_ph_w, matched_w = solve_phase_warm_streams(
-            cfg, xrefs, fsteps)
+            cfg, xrefs, fsteps, phase_fs)
 
     import subprocess
     import sys as _sys
@@ -357,6 +397,8 @@ def main(argv=None):
 
     out = {
         "cycles": int(args.cycles),
+        "gait": args.gait + (f"->{args.switch}" if args.switch else ""),
+        "n_phase_classes": int(phase_fs.shape[0]),
         "estimator": ("perfect" if args.perfect_estimator
                       else "complementary (reference default)"),
         "backend_relaxed": "pallas-interpret" if interpret else "pallas",

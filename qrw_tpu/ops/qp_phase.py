@@ -61,7 +61,9 @@ Y_CLIP = 1.0e4          # dual safeguard box
 
 class PhaseQPData(NamedTuple):
     """Static per-solve data shared across the batch (host-built)."""
-    A: jnp.ndarray          # (m, n) reduced cone matrix I (x) C
+    A: jnp.ndarray          # (m, n) reduced cone matrix I (x) C (kept
+                            # for hosts-side builds; the kernel applies
+                            # the cone STRUCTURALLY — see a_apply)
     Kbar_inv: jnp.ndarray   # (P, n, n) shared metric inverses per phase
     onehot: jnp.ndarray     # (P, N, cap) slot->step one-hot (f32)
     L: jnp.ndarray          # (N, N) lower-triangular ones (incl. diag)
@@ -77,6 +79,38 @@ class PhaseQPData(NamedTuple):
     alpha: float
     c_scale: float = 1.0    # cost scaling folded into (w*, q); divides
                             # the dual residual back to physical units
+    # Per-phase Gram matrices of the time coupling: the 6-matmul chain
+    # oh' (dt^2 P2'WtopP2 + L'WbotL) oh collapses to TWO (cap, cap)
+    # matmuls per Hx with G1 = oh' P2'P2 oh and G2 = oh' L'L oh
+    # (the diagonal per-wrench-component weights commute with the
+    # step-axis contractions). Cuts the kernel's hx matmul time ~4x.
+    G1: jnp.ndarray = None  # (P, cap, cap)
+    G2: jnp.ndarray = None  # (P, cap, cap)
+    mu: float = 0.9         # friction coefficient (structural cone ops)
+    dt_m: float = 0.0       # dt / mass: the constant force-row entries
+                            # of every input block Bl (src/MPC.cpp:226)
+
+
+def a_apply(x, cap, mu):
+    """Cone-matrix product A x applied STRUCTURALLY: A = I_cap (x) C
+    with C the 5x3 friction-pyramid block (src/MPC.cpp:135-146), so the
+    (5cap, 3cap) matmul — 99% zeros — becomes 15 fused scalar
+    multiply-adds on (cap, T) panels (VPU), off the MXU critical path."""
+    x3 = x.reshape(cap, 3, -1)
+    fx, fy, fz = x3[:, 0], x3[:, 1], x3[:, 2]
+    mfz = mu * fz
+    return jnp.stack([fx - mfz, -fx - mfz, fy - mfz, -fy - mfz, -fz],
+                     axis=1).reshape(5 * cap, x.shape[-1])
+
+
+def at_apply(y, cap, mu):
+    """Transpose cone product A' y, structural (see a_apply)."""
+    y5 = y.reshape(cap, 5, -1)
+    gx = y5[:, 0] - y5[:, 1]
+    gy = y5[:, 2] - y5[:, 3]
+    gz = -mu * (y5[:, 0] + y5[:, 1] + y5[:, 2] + y5[:, 3]) - y5[:, 4]
+    return jnp.stack([gx, gy, gz], axis=1).reshape(3 * cap,
+                                                   y.shape[-1])
 
 
 def time_coupling(n_steps: int):
@@ -90,89 +124,103 @@ def time_coupling(n_steps: int):
     return L, P2
 
 
-def hx_matfree(x, BlS, oh, d: PhaseQPData):
+def tor_slabs(BlS):
+    """(3, cap, 3, B) slot-major slabs of the TORQUE rows of BlS:
+    slab[i][s, a, :] = Bl_s[3 + a, 3 s + i]. Rearranged ONCE outside
+    the iteration loop; hx_matfree consumes the three (cap, 3, B)
+    slabs so every in-loop op is a plain 3D broadcast — no transposes,
+    repeats, or 4D ops (Mosaic supports neither >2D gathers nor cheap
+    sublane relayouts)."""
+    six, n3, B = BlS.shape
+    cap = n3 // 3
+    return BlS[3:6].reshape(3, cap, 3, B).transpose(2, 1, 0, 3)
+
+
+def hx_matfree(x, BlS_tor, G1, G2, d: PhaseQPData):
     """H_b x, matrix-free. Shapes (lane-major, T = lane width):
-    x (3cap, T); BlS (6, 3cap, T); oh (N, cap). Works identically under
-    vmap-free XLA (T = batch) and inside the kernel (T = tile).
+    x (3cap, T); BlS_tor (3, cap, 3, T) — tor_slabs of the per-slot
+    input blocks; G1/G2 (cap, cap) phase Gram matrices. Works
+    identically under vmap-free XLA (T = batch) and inside the kernel
+    (T = tile).
 
-    H_b = Gr' W Gr + w_force I with Gr[k, s] = [dt (k - step_s) wrows;
-    rows] masked to k >= step_s — the one-hot + prefix-sum matmuls
-    reproduce exactly the masked block-triangular sums."""
-    cap = oh.shape[-1]
-    n = 3 * cap
+    H_b = Gr' W Gr + w_force I. Two structural facts keep this off the
+    VPU critical path: (1) the FORCE rows of every input block are the
+    constant dt/m * I (src/MPC.cpp:226), so their slot inner products
+    are a scalar-scaled view of x, no multiplies; (2) the whole
+    step-axis chain oh' (dt^2 P2'WtopP2 + L'WbotL) oh is precomputed
+    into G1/G2, so the time coupling is two (cap, cap) matmuls."""
+    cap = G1.shape[-1]
     T = x.shape[-1]
-    # per-slot inner products ps[a, s] = Bl_s[a, :] . x_s  -> (6, cap, T)
-    prod = BlS * x[None, :, :]                       # (6, 3cap, T)
-    ps = prod.reshape(6, cap, 3, T).sum(axis=2)      # (6, cap, T)
-    # aggregate to steps: u[k, a] = sum_s oh[k, s] ps[a, s]
-    psf = ps.transpose(1, 0, 2).reshape(cap, 6 * T)  # (cap, 6T)
-    u = jax.lax.dot_general(oh, psf, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32,
-                            precision=HI)            # (N, 6T)
-    # time coupling: dxv = L u ; dxp = dt P2 u
-    dxv = jax.lax.dot_general(d.L, u, (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32, precision=HI)
-    dxp = jax.lax.dot_general(d.P2, u, (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32, precision=HI)
-    N = d.L.shape[0]
-    dxv = dxv.reshape(N, 6, T) * d.wbot[None, :, None]
-    dxp = dxp.reshape(N, 6, T) * (d.dt * d.dt) * d.wtop[None, :, None]
-    # transpose side: v[j] = P2' dxp + L' dxv
-    vp = jax.lax.dot_general(d.P2, dxp.reshape(N, 6 * T),
-                             (((0,), (0,)), ((), ())),
+    x3 = x.reshape(cap, 3, T)
+    b0, b1, b2 = BlS_tor[0], BlS_tor[1], BlS_tor[2]  # (cap, 3, T)
+    # per-slot inner products ps[s, a] = Bl_s[a, :] . x_s  (slot-major)
+    ps_f = d.dt_m * x3                               # (cap, 3, T) a=0..2
+    ps_t = (b0 * x3[:, 0:1, :] + b1 * x3[:, 1:2, :]
+            + b2 * x3[:, 2:3, :])                    # (cap, 3, T) a=3..5
+    psf = jnp.concatenate([ps_f, ps_t], axis=1) \
+        .reshape(cap, 6 * T)                         # (cap, 6T)
+    # ONE (2cap, cap) matmul for both Gram products: each (cap, cap)
+    # matmul alone uses only `cap` MXU sublane rows; stacked they run
+    # at twice the row occupancy for the same launch latency
+    Gcat = jnp.concatenate([G1, G2], axis=0)         # (2cap, cap)
+    vv = jax.lax.dot_general(Gcat, psf, (((1,), (0,)), ((), ())),
                              preferred_element_type=f32, precision=HI)
-    vv = jax.lax.dot_general(d.L, dxv.reshape(N, 6 * T),
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=f32, precision=HI)
-    v = vp + vv                                      # (N, 6T)
-    # back to slots: vS[s, a] = sum_k oh[k, s] v[k, a]
-    vS = jax.lax.dot_general(oh, v, (((0,), (0,)), ((), ())),
-                             preferred_element_type=f32,
-                             precision=HI)           # (cap, 6T)
-    vS = vS.reshape(cap, 6, T)
-    # out[3s + i] = sum_a BlS[a, 3s + i] vS[s, a]
-    vS_rep = jnp.repeat(vS.transpose(1, 0, 2), 3, axis=1)  # (6, 3cap, T)
-    out = (BlS * vS_rep).sum(axis=0)                 # (3cap, T)
-    return out + d.w_force * x
+    vS = (vv[:cap].reshape(cap, 6, T) * (d.dt * d.dt)
+          * d.wtop[None, :, None]
+          + vv[cap:].reshape(cap, 6, T) * d.wbot[None, :, None])
+    # out[s, i] = sum_a BlS[a, s, i] vS[s, a]: constant force rows
+    # contribute dt/m * vS[s, i]; torque rows contract the slabs
+    # (stacked, not scatter-added — Mosaic has no scatter-add)
+    vF = d.dt_m * vS[:, 0:3, :]
+    vT = vS[:, 3:6, :]                               # (cap, 3, T)
+    out = jnp.stack([vF[:, 0, :] + (b0 * vT).sum(axis=1),
+                     vF[:, 1, :] + (b1 * vT).sum(axis=1),
+                     vF[:, 2, :] + (b2 * vT).sum(axis=1)], axis=1)
+    return out.reshape(3 * cap, T) + d.w_force * x
 
 
-def admm_iter(x, z, y, q, BlS, oh, Kinv, d: PhaseQPData):
-    """One prox-ADMM iteration, lane-major. All matmuls shared."""
-    Ax = jax.lax.dot_general(d.A, x, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32, precision=HI)
+def admm_iter(x, z, y, Ax, q, BlS_tor, G1, G2, Kinv, d: PhaseQPData):
+    """One prox-ADMM iteration, lane-major, carrying A x across
+    iterations. The only MXU matmuls are the Gram product (hx) and the
+    Kinv step; the cone products are structural VPU panels
+    (a_apply/at_apply), ONE per iteration at alpha = 1 (the production
+    setting — the z-update is evaluated at the clipped iterate so the
+    next iteration's A x is exactly this iteration's zt)."""
+    cap = G1.shape[-1]
     w = d.rho * (Ax - z) + y
-    Atw = jax.lax.dot_general(d.A, w, (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32, precision=HI)
-    g = hx_matfree(x, BlS, oh, d) + q + Atw
+    Atw = at_apply(w, cap, d.mu)
+    g = hx_matfree(x, BlS_tor, G1, G2, d) + q + Atw
     step = jax.lax.dot_general(Kinv, g, (((1,), (0,)), ((), ())),
                                preferred_element_type=f32, precision=HI)
     xt = x - step
-    zt = jax.lax.dot_general(d.A, xt, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32, precision=HI)
-    xn = d.alpha * xt + (1.0 - d.alpha) * x
-    zr = d.alpha * zt + (1.0 - d.alpha) * z
-    zn = jnp.clip(zr + y / d.rho, d.l[:, None], d.u[:, None])
-    yn = y + d.rho * (zr - zn)
     # Safeguard box: the physical solution is bounded (per-component
     # forces <= fz_max * sqrt(1 + mu^2) ~ 34 N), so clamping iterates far
-    # outside it never cuts off the optimum. Over-relaxed (alpha > 1)
-    # prox-metric steps can diverge geometrically on a small fraction of
-    # problems in f32; the clamp turns that into a bounded excursion the
-    # iteration recovers from instead of NaN poisoning the lane.
-    xn = jnp.clip(xn, -X_CLIP, X_CLIP)
-    yn = jnp.clip(yn, -Y_CLIP, Y_CLIP)
-    return xn, zn, yn
+    # outside it never cuts off the optimum. Divergent shared-metric
+    # lanes turn into a bounded excursion the iteration recovers from
+    # instead of NaN poisoning the lane.
+    if d.alpha == 1.0:
+        xn = jnp.clip(xt, -X_CLIP, X_CLIP)
+        Axn = a_apply(xn, cap, d.mu)
+        zr = Axn
+    else:
+        xn = jnp.clip(d.alpha * xt + (1.0 - d.alpha) * x,
+                      -X_CLIP, X_CLIP)
+        zt = a_apply(xt, cap, d.mu)
+        zr = d.alpha * zt + (1.0 - d.alpha) * z
+        Axn = a_apply(xn, cap, d.mu)
+    zn = jnp.clip(zr + y / d.rho, d.l[:, None], d.u[:, None])
+    yn = jnp.clip(y + d.rho * (zr - zn), -Y_CLIP, Y_CLIP)
+    return xn, zn, yn, Axn
 
 
-def residuals(x, z, y, q, BlS, oh, d: PhaseQPData):
+def residuals(x, z, y, Ax, q, BlS_tor, G1, G2, d: PhaseQPData):
     """Unscaled OSQP residual norms + scales, (T,)-shaped. The cost
     scaling c is folded into (wtop, wbot, w_force, q), so the dual
-    residual is divided back out by the caller via eps scaling."""
-    Ax = jax.lax.dot_general(d.A, x, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32, precision=HI)
-    Aty = jax.lax.dot_general(d.A, y, (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32, precision=HI)
-    Hx = hx_matfree(x, BlS, oh, d)
+    residual is divided back out by the caller via eps scaling. Ax is
+    the carried cone product (== a_apply(x))."""
+    cap = G1.shape[-1]
+    Aty = at_apply(y, cap, d.mu)
+    Hx = hx_matfree(x, BlS_tor, G1, G2, d)
     pri = jnp.max(jnp.abs(Ax - z), axis=0)
     dua = jnp.max(jnp.abs(Hx + q + Aty), axis=0)
     n1 = jnp.maximum(jnp.max(jnp.abs(Ax), axis=0),
@@ -182,26 +230,27 @@ def residuals(x, z, y, q, BlS, oh, d: PhaseQPData):
     return pri, dua, n1, n2
 
 
-def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, oh_ref,
-            A_ref, L_ref, P2_ref, lu_ref, w_ref,
+def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, G1_ref, G2_ref,
+            lu_ref, w_ref,
             x_ref, y_ref, z_ref, res_ref, *, d: PhaseQPData, n_iters,
             check_every, eps_abs, eps_rel):
     # rebuild the constant pack from refs (pallas kernels cannot close
     # over array constants); scalars ride the closure
-    d = d._replace(A=A_ref[...], L=L_ref[...], P2=P2_ref[...],
-                   l=lu_ref[0], u=lu_ref[1],
+    d = d._replace(l=lu_ref[0], u=lu_ref[1],
                    wtop=w_ref[0, 0:6], wbot=w_ref[1, 0:6])
     q = q_ref[...]
-    BlS = BlS_ref[...]
+    BlS_tor = BlS_ref[...]
     Kinv = Kinv_ref[0]
-    oh = oh_ref[0]
+    G1 = G1_ref[0]
+    G2 = G2_ref[0]
+    cap = G1.shape[-1]
     x = x0_ref[...]
     y = y0_ref[...]
-    z = jax.lax.dot_general(d.A, x, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32, precision=HI)
+    Ax = a_apply(x, cap, d.mu)
+    z = Ax
 
     def step(_, s):
-        return admm_iter(*s, q, BlS, oh, Kinv, d)
+        return admm_iter(*s, q, BlS_tor, G1, G2, Kinv, d)
 
     # Chunked iteration with a per-lane convergence check every
     # `check_every` iterations: `it_conv` records the iteration count at
@@ -212,8 +261,8 @@ def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, oh_ref,
     ci = 1.0 / d.c_scale
     nrm_q = jnp.max(jnp.abs(q), axis=0) * ci
 
-    def conv_test(x, z, y):
-        pri, dua, n1, n2 = residuals(x, z, y, q, BlS, oh, d)
+    def conv_test(x, z, y, Ax):
+        pri, dua, n1, n2 = residuals(x, z, y, Ax, q, BlS_tor, G1, G2, d)
         eps_p = eps_abs + eps_rel * n1
         eps_d = eps_abs + eps_rel * jnp.maximum(n2 * ci, nrm_q)
         return (pri <= eps_p) & (dua * ci <= eps_d)
@@ -221,21 +270,22 @@ def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, oh_ref,
     n_chunks = -(-n_iters // check_every)
 
     def chunk(c, carry):
-        x, z, y, it_conv = carry
+        x, z, y, Ax, it_conv = carry
         hi = jnp.minimum((c + 1) * check_every, n_iters)
-        x, z, y = jax.lax.fori_loop(c * check_every, hi, step, (x, z, y))
+        x, z, y, Ax = jax.lax.fori_loop(c * check_every, hi, step,
+                                        (x, z, y, Ax))
         it_conv = jnp.minimum(
-            it_conv, jnp.where(conv_test(x, z, y),
+            it_conv, jnp.where(conv_test(x, z, y, Ax),
                                hi.astype(f32), float(n_iters)))
-        return x, z, y, it_conv
+        return x, z, y, Ax, it_conv
 
     it0 = jnp.full((q.shape[-1],), float(n_iters), f32)
-    x, z, y, it_conv = jax.lax.fori_loop(0, n_chunks, chunk,
-                                         (x, z, y, it0))
+    x, z, y, Ax, it_conv = jax.lax.fori_loop(0, n_chunks, chunk,
+                                             (x, z, y, Ax, it0))
     x_ref[...] = x
     y_ref[...] = y
     z_ref[...] = z
-    pri, dua, n1, n2 = residuals(x, z, y, q, BlS, oh, d)
+    pri, dua, n1, n2 = residuals(x, z, y, Ax, q, BlS_tor, G1, G2, d)
     res_ref[...] = jnp.broadcast_to(
         jnp.stack([pri, dua, n1, n2, it_conv])[:, None, :],
         res_ref.shape)
@@ -283,24 +333,30 @@ def solve(q, BlS, data: PhaseQPData, phases_of,
         ph = np.asarray(phases_of, np.int32)
         assert ph.shape == (n_tiles,)
         kinv_tiles = jnp.asarray(np.asarray(data.Kbar_inv)[ph], f32)
-        oh_tiles = jnp.asarray(np.asarray(data.onehot)[ph], f32)
+        g1_tiles = jnp.asarray(np.asarray(data.G1)[ph], f32)
+        g2_tiles = jnp.asarray(np.asarray(data.G2)[ph], f32)
     else:
         ph = jnp.asarray(phases_of, jnp.int32)
         kinv_tiles = jnp.asarray(data.Kbar_inv, f32)[ph]
-        oh_tiles = jnp.asarray(data.onehot, f32)[ph]
+        g1_tiles = jnp.asarray(data.G1, f32)[ph]
+        g2_tiles = jnp.asarray(data.G2, f32)[ph]
     kinv_spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    oh_spec = pl.BlockSpec((1, data.onehot.shape[1], cap),
-                           lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, cap, cap), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
 
-    N = data.L.shape[0]
     lu = jnp.stack([jnp.asarray(data.l, f32), jnp.asarray(data.u, f32)])
     w8 = np.zeros((2, 8), np.float32)
     w8[0, 0:6] = np.asarray(data.wtop)
     w8[1, 0:6] = np.asarray(data.wbot)
     full = lambda *shape: pl.BlockSpec(
         shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM)
+
+    # only the TORQUE rows of BlS enter the kernel — the force rows are
+    # the constant dt/m identity (hx_matfree exploits the structure) —
+    # rearranged into slot-major slabs ONCE here so the in-kernel loop
+    # runs transpose-free
+    BlS_tor = tor_slabs(BlS)
 
     x, y, z, res = pl.pallas_call(
         functools.partial(_kernel, d=data, n_iters=int(n_iters),
@@ -310,10 +366,10 @@ def solve(q, BlS, data: PhaseQPData, phases_of,
         grid=(n_tiles,),
         in_specs=[
             lane(n),
-            pl.BlockSpec((6, n, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((3, cap, 3, tile), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
-            lane(n), lane(m), kinv_spec, oh_spec,
-            full(m, n), full(N, N), full(N, N), full(2, m), full(2, 8)],
+            lane(n), lane(m), kinv_spec, g_spec, g_spec,
+            full(2, m), full(2, 8)],
         out_specs=[lane(n), lane(m), lane(m),
                    pl.BlockSpec((5, 8, tile), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)],
@@ -324,9 +380,8 @@ def solve(q, BlS, data: PhaseQPData, phases_of,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q.astype(f32), BlS.astype(f32), x0, y0, kinv_tiles, oh_tiles,
-      jnp.asarray(data.A, f32), jnp.asarray(data.L, f32),
-      jnp.asarray(data.P2, f32), lu, jnp.asarray(w8))
+    )(q.astype(f32), BlS_tor.astype(f32), x0, y0, kinv_tiles,
+      g1_tiles, g2_tiles, lu, jnp.asarray(w8))
 
     pri, dua, n1, n2 = res[0, 0], res[1, 0], res[2, 0], res[3, 0]
     # pri is unscaled (A, l, u, x are in physical units); the dual side
@@ -351,9 +406,12 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
     traced)."""
     n, B = q.shape
     m = data.A.shape[0]
+    cap = n // 3
     phase_of_problem = jnp.asarray(phase_of_problem, jnp.int32)
     Kinv = data.Kbar_inv[phase_of_problem]           # (B, n, n)
-    oh = data.onehot[phase_of_problem]               # (B, N, cap)
+    G1 = data.G1[phase_of_problem]                   # (B, cap, cap)
+    G2 = data.G2[phase_of_problem]
+    BlS_tor = tor_slabs(BlS)
 
     x = jnp.zeros((n, B), f32) if x0 is None else x0.astype(f32)
     y = jnp.zeros((m, B), f32) if y0 is None else y0.astype(f32)
@@ -361,38 +419,46 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
     # per-problem variants of the shared-matmul helpers
     def hx(xv):
         return jax.vmap(
-            lambda xb, Bb, ob: hx_matfree(xb[:, None], Bb[..., None],
-                                          ob, data)[:, 0],
-            in_axes=(1, 2, 0), out_axes=1)(xv, BlS, oh)
+            lambda xb, Bb, g1, g2: hx_matfree(xb[:, None], Bb[..., None],
+                                              g1, g2, data)[:, 0],
+            in_axes=(1, 3, 0, 0), out_axes=1)(xv, BlS_tor, G1, G2)
 
-    z = data.A @ x
+    Ax = a_apply(x, cap, data.mu)
+    z = Ax
 
     def it(_, s):
-        x, z, y = s
-        w = data.rho * ((data.A @ x) - z) + y
-        g = hx(x) + q + data.A.T @ w
+        x, z, y, Ax = s
+        w = data.rho * (Ax - z) + y
+        g = hx(x) + q + at_apply(w, cap, data.mu)
         step = jnp.einsum("bij,jb->ib", Kinv, g)
         xt = x - step
-        zt = data.A @ xt
-        xn = data.alpha * xt + (1 - data.alpha) * x
-        zr = data.alpha * zt + (1 - data.alpha) * z
+        # same update order + safeguard box as the kernel (admm_iter)
+        if data.alpha == 1.0:
+            xn = jnp.clip(xt, -X_CLIP, X_CLIP)
+            Axn = a_apply(xn, cap, data.mu)
+            zr = Axn
+        else:
+            xn = jnp.clip(data.alpha * xt + (1 - data.alpha) * x,
+                          -X_CLIP, X_CLIP)
+            zt = a_apply(xt, cap, data.mu)
+            zr = data.alpha * zt + (1 - data.alpha) * z
+            Axn = a_apply(xn, cap, data.mu)
         zn = jnp.clip(zr + y / data.rho, data.l[:, None], data.u[:, None])
-        yn = y + data.rho * (zr - zn)
-        # same safeguard box as the kernel (admm_iter)
-        xn = jnp.clip(xn, -X_CLIP, X_CLIP)
-        yn = jnp.clip(yn, -Y_CLIP, Y_CLIP)
-        return xn, zn, yn
+        yn = jnp.clip(y + data.rho * (zr - zn), -Y_CLIP, Y_CLIP)
+        return xn, zn, yn, Axn
 
     ci = 1.0 / data.c_scale
     nrm_q = jnp.max(jnp.abs(q), axis=0) * ci
 
-    def residual_test(x, z, y):
-        pri = jnp.max(jnp.abs(data.A @ x - z), axis=0)
-        dua = jnp.max(jnp.abs(hx(x) + q + data.A.T @ y), axis=0) * ci
-        n1 = jnp.maximum(jnp.max(jnp.abs(data.A @ x), axis=0),
+    def residual_test(x, z, y, Ax):
+        Aty = at_apply(y, cap, data.mu)
+        Hx = hx(x)
+        pri = jnp.max(jnp.abs(Ax - z), axis=0)
+        dua = jnp.max(jnp.abs(Hx + q + Aty), axis=0) * ci
+        n1 = jnp.maximum(jnp.max(jnp.abs(Ax), axis=0),
                          jnp.max(jnp.abs(z), axis=0))
-        n2 = jnp.maximum(jnp.max(jnp.abs(hx(x)), axis=0),
-                         jnp.max(jnp.abs(data.A.T @ y), axis=0)) * ci
+        n2 = jnp.maximum(jnp.max(jnp.abs(Hx), axis=0),
+                         jnp.max(jnp.abs(Aty), axis=0)) * ci
         eps_p = 1e-4 + 1e-4 * n1
         eps_d = 1e-4 + 1e-4 * jnp.maximum(n2, nrm_q)
         return pri, dua, (pri <= eps_p) & (dua <= eps_d)
@@ -400,18 +466,19 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
     n_chunks = -(-n_iters // check_every)
 
     def chunk(c, carry):
-        x, z, y, it_conv = carry
+        x, z, y, Ax, it_conv = carry
         hi = jnp.minimum((c + 1) * check_every, n_iters)
-        x, z, y = jax.lax.fori_loop(c * check_every, hi, it, (x, z, y))
-        _, _, cv = residual_test(x, z, y)
+        x, z, y, Ax = jax.lax.fori_loop(c * check_every, hi, it,
+                                        (x, z, y, Ax))
+        _, _, cv = residual_test(x, z, y, Ax)
         it_conv = jnp.minimum(
             it_conv, jnp.where(cv, hi.astype(f32), float(n_iters)))
-        return x, z, y, it_conv
+        return x, z, y, Ax, it_conv
 
     it0 = jnp.full((B,), float(n_iters), f32)
-    x, z, y, it_conv = jax.lax.fori_loop(0, n_chunks, chunk,
-                                         (x, z, y, it0))
-    pri, dua, conv = residual_test(x, z, y)
+    x, z, y, Ax, it_conv = jax.lax.fori_loop(0, n_chunks, chunk,
+                                             (x, z, y, Ax, it0))
+    pri, dua, conv = residual_test(x, z, y, Ax)
     return PhaseQPResult(x=x, y=y, z=z, pri_res=pri, dua_res=dua,
                          converged=conv,
                          iters=it_conv.astype(jnp.int32))

@@ -63,9 +63,10 @@ def test_hx_matfree_matches_dense():
                     Blf).reshape(6, 3 * ps.cap, 1)
     rng = np.random.default_rng(1)
     x = rng.normal(size=(3 * ps.cap, 1)).astype(np.float32)
-    hx = qp_phase.hx_matfree(jnp.asarray(x), jnp.asarray(BlS),
-                             jnp.asarray(np.asarray(ps.data.onehot[p])),
-                             ps.data)
+    hx = qp_phase.hx_matfree(jnp.asarray(x),
+                             qp_phase.tor_slabs(jnp.asarray(BlS)),
+                             jnp.asarray(ps.data.G1[p]),
+                             jnp.asarray(ps.data.G2[p]), ps.data)
     want = ps.c_scale * (np.asarray(Hr) @ x[:, 0])
     np.testing.assert_allclose(np.asarray(hx)[:, 0], want,
                                atol=2e-3 * max(1.0, np.abs(want).max()))
