@@ -148,7 +148,7 @@ def _run_fleet_mpc(args, cfg):
     B = args.fleet_mpc
     P = cfg.n_steps
     on_cpu = all(d.platform == "cpu" for d in jax.devices())
-    tile = 4 if on_cpu else 128
+    tile = 4 if on_cpu else 512     # bench.py tile sweep: 512 optimal
     per = max(tile, (B // (P * tile)) * tile)
     phase_ids = list(range(P)) if B >= P * tile else [0, P // 2]
     B = per * len(phase_ids)

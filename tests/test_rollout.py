@@ -72,6 +72,10 @@ def test_reference_default_scenario():
     oracles + velocity tracking at the profile's own pace."""
     from qrw_tpu.core.joystick import v_ref_profile
     cfg = Config(velID=2, N_SIMULATION=3000)
+    # f32 deliberately: this long scenario doubles as the TPU-dtype
+    # coverage; the f64 closed-loop path is exercised by the module
+    # fixture (standing_run), the cruise/async/gait tests above/below,
+    # and the hardware parity capture (eval/parity_320, f64)
     ctl, carry = make_rollout(cfg, dtype=jnp.float32)
     n = 3000
     carry, logs = jax.jit(
