@@ -432,26 +432,47 @@ def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
             eps_abs=1e-4, eps_rel=1e-4, max_iter=450,
             adaptive_rho_interval=200, scaling_iters=4)
     bad = ~sol.converged
-    order = jnp.argsort(jnp.where(bad, 0, 1), stable=True)[:R]
-    sel_bad = bad[order]                                    # (R,)
-    xb = xrefs.astype(f32)[:, :, order].transpose(2, 0, 1)  # (R,12,N+1)
-    fb = fsteps.astype(f32)[:, :, order].transpose(2, 0, 1)
-    r_tile = R if R <= 64 else 64
-    _, st_r, sol_r, ok_r = mpc_mod.solve_mpc_batch_reduced(
-        cfg, xb, fb, settings=rescue_settings, tile=r_tile,
-        cap=(2 * N if qp_cap is None else qp_cap), interpret=interpret)
-    good = sel_bad & sol_r.converged & ok_r                 # (R,)
-    f_r = st_r.f.reshape(R, 4 * N, 3).transpose(1, 2, 0)    # (4N,3,R)
-    # the reduced path's duals are in PHYSICAL units; the phase solver's
-    # carry is on the c-scaled cost (y_phase = c_scale * y_physical) —
-    # rescale so the rescued lane's next warm start is consistent
-    y_r = c_scale * st_r.y.reshape(R, 4 * N, 5).transpose(1, 2, 0)
-    g3 = good[None, None, :]
-    f_full = f_full.at[:, :, order].set(
-        jnp.where(g3, f_r, f_full[:, :, order]))
-    y_full = y_full.at[:, :, order].set(
-        jnp.where(g3, y_r, y_full[:, :, order]))
-    conv = sol.converged.at[order].set(sol.converged[order] | good)
+
+    def do_rescue(args):
+        f_full, y_full = args
+        order = jnp.argsort(jnp.where(bad, 0, 1), stable=True)[:R]
+        sel_bad = bad[order]                                # (R,)
+        xb = xrefs.astype(f32)[:, :, order] \
+            .transpose(2, 0, 1)                             # (R,12,N+1)
+        fb = fsteps.astype(f32)[:, :, order].transpose(2, 0, 1)
+        r_tile = R if R <= 64 else 64
+        _, st_r, sol_r, ok_r = mpc_mod.solve_mpc_batch_reduced(
+            cfg, xb, fb, settings=rescue_settings, tile=r_tile,
+            cap=(2 * N if qp_cap is None else qp_cap),
+            interpret=interpret)
+        good = sel_bad & sol_r.converged & ok_r             # (R,)
+        f_r = st_r.f.reshape(R, 4 * N, 3).transpose(1, 2, 0)
+        # the reduced path's duals are in PHYSICAL units; the phase
+        # solver's carry is on the c-scaled cost
+        # (y_phase = c_scale * y_physical) — rescale so the rescued
+        # lane's next warm start is consistent
+        y_r = c_scale * st_r.y.reshape(R, 4 * N, 5).transpose(1, 2, 0)
+        g3 = good[None, None, :]
+        f_full2 = f_full.at[:, :, order].set(
+            jnp.where(g3, f_r, f_full[:, :, order]))
+        y_full2 = y_full.at[:, :, order].set(
+            jnp.where(g3, y_r, y_full[:, :, order]))
+        conv = sol.converged.at[order].set(
+            sol.converged[order] | good)
+        return f_full2, y_full2, conv
+
+    def no_rescue(args):
+        f_full, y_full = args
+        return f_full, y_full, sol.converged
+
+    # The rescue only executes on cycles with failures: in steady state
+    # (conv == 1.0, the measured fleet norm) the cond skips the whole
+    # second stage, so its cost is proportional to actual failures —
+    # ~0 amortized in steady state, the full reduced-solve price only
+    # during cold-start / post-disturbance transients.
+    import jax
+    f_full, y_full, conv = jax.lax.cond(
+        jnp.any(bad), do_rescue, no_rescue, (f_full, y_full))
     return f_full, y_full, sol._replace(converged=conv)
 
 
