@@ -220,6 +220,40 @@ def transition_phase_fsteps(cfg: Config, kind_a: str,
     return np.stack([_support_to_fsteps(cfg, s) for s in sups])
 
 
+def calibrate_phase_fsteps(cfg: Config, phase_fs: np.ndarray,
+                           fsteps_captured: np.ndarray) -> np.ndarray:
+    """Re-center each phase class's nominal footholds on the MEAN
+    captured foothold of the cycles matching that class.
+
+    The shared proximal metric Kbar is built from the class's nominal
+    foothold geometry; convergence needs the actual problems' lever
+    arms to stay within the metric margin. For a trot the planner's
+    footholds sit within a few cm of the shoulder nominals and the
+    default margin covers them, but gaits with large lateral dynamics
+    (pacing rocks the base, displacing touchdowns up to ~16 cm) leave
+    the margin and the shared-metric stage converges at only ~25%.
+    Calibrating the metric to the operating distribution (one shakedown
+    capture) restores ~98% convergence at the same budget — measured on
+    a velID=2 pacing capture. Classes with no matching captured cycle
+    keep their nominal values."""
+    N = cfg.n_steps
+    phase_fs = np.asarray(phase_fs)
+    P = phase_fs.shape[0]
+    fsteps_captured = np.asarray(fsteps_captured)
+    sups = (phase_fs[:, :N, 0::3] != 0).reshape(P, -1)
+    cap_sup = (fsteps_captured[:, :N, 0::3] != 0) \
+        .reshape(fsteps_captured.shape[0], -1)
+    out = np.array(phase_fs, np.float32, copy=True)
+    for p in range(P):
+        sel = (cap_sup == sups[p]).all(axis=1)
+        if sel.any():
+            avg = fsteps_captured[sel].mean(axis=0)
+            m = np.zeros(phase_fs.shape[1:], bool)
+            m[:N] = np.repeat(sups[p].reshape(N, 4), 3, axis=1)
+            out[p] = np.where(m, avg, 0.0).astype(np.float32)
+    return out
+
+
 def union_phase_fsteps(cfg: Config, sets) -> np.ndarray:
     """Concatenate phase-class sets (deduped by support) into one
     (P, N_gait, 12) array for a shared PhaseStructure — e.g. trot +

@@ -294,6 +294,9 @@ def main(argv=None):
                     help="inject a joystick gait switch at the capture "
                          "midpoint; the phase set becomes the union of "
                          "both gaits' classes + transition windows")
+    ap.add_argument("--no-calibrate", action="store_true",
+                    help="keep shoulder-nominal metric footholds "
+                         "instead of calibrating to the capture")
     ap.add_argument("--backend", choices=["auto", "pallas", "interpret"],
                     default="auto")
     ap.add_argument("--cpu", action="store_true")
@@ -337,6 +340,14 @@ def main(argv=None):
                                        gait=args.gait,
                                        switch_to=args.switch)
         phase_fs = build_phase_set(cfg, args.gait, args.switch)
+        if not args.no_calibrate:
+            # re-center the shared metrics on the captured foothold
+            # distribution (a production deployment would calibrate
+            # from a shakedown run the same way) — essential for gaits
+            # whose planner footholds deviate far from the shoulder
+            # nominals (core/mpc_lane.calibrate_phase_fsteps)
+            from qrw_tpu.core import mpc_lane as ml
+            phase_fs = ml.calibrate_phase_fsteps(cfg, phase_fs, fsteps)
         f_star = solve_oracle(cfg, xrefs, fsteps)
         f_ref64 = solve_xla64_seq(cfg, xrefs, fsteps)
         f_phase, conv_phase, matched = solve_phase_cold(
@@ -399,6 +410,9 @@ def main(argv=None):
         "cycles": int(args.cycles),
         "gait": args.gait + (f"->{args.switch}" if args.switch else ""),
         "n_phase_classes": int(phase_fs.shape[0]),
+        "metric_calibration": ("none (shoulder nominals)"
+                               if args.no_calibrate
+                               else "captured-foothold means"),
         "estimator": ("perfect" if args.perfect_estimator
                       else "complementary (reference default)"),
         "backend_relaxed": "pallas-interpret" if interpret else "pallas",

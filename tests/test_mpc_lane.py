@@ -377,3 +377,29 @@ def test_transition_set_covers_gait_switch_capture():
     pac = pac.reshape(16, -1)
     hit_pac = np.array([(pac == h).all(axis=1).any() for h in have])
     assert hit_pac.any()
+
+
+def test_calibrate_phase_fsteps_mechanics():
+    """Metric calibration re-centers each class's stance footholds on
+    the mean captured foothold of matched cycles, preserves the support
+    pattern exactly (swing entries stay zero), and leaves unmatched
+    classes at their nominals."""
+    phase_fs = ml.gait_phase_fsteps(CFG, "pacing")
+    rng = np.random.default_rng(0)
+    # fake capture: 3 cycles of class 2 with displaced footholds
+    cap = np.repeat(phase_fs[2][None], 3, axis=0).copy()
+    stance = np.repeat((phase_fs[2][:N, 0::3] != 0), 3, axis=1)
+    for i in range(3):
+        cap[i, :N] += stance * (0.05 * (i + 1))
+    cal = ml.calibrate_phase_fsteps(CFG, phase_fs, cap)
+    # class 2: stance entries moved by the mean displacement (0.10)
+    np.testing.assert_allclose(cal[2][:N][stance],
+                               phase_fs[2][:N][stance] + 0.10,
+                               atol=1e-6)
+    np.testing.assert_allclose(cal[2][:N][~stance], 0.0, atol=0.0)
+    # unmatched classes untouched
+    np.testing.assert_array_equal(cal[5], phase_fs[5])
+    # support patterns identical -> build_phase_data accepts the set
+    ps = ml.build_phase_data(CFG, cal)
+    assert (np.asarray(ps.supports)
+            == (phase_fs[:, :N, 0::3] != 0).reshape(16, -1)).all()
