@@ -127,3 +127,22 @@ def test_fleet_forward_velocity_tracking(phase_structure):
     x_final = np.asarray(carry2.sim_states.q)[:, 0]
     assert (x_final > 0.05).all(), x_final
     assert np.asarray(cyc.converged).mean() > 0.99
+
+
+def test_fleet_real_estimator(phase_structure):
+    """A small fleet on the SHIPPING estimator configuration (the
+    complementary filter, perfect_estimator=False,
+    scripts/Controller.py:102-111): upright, converged, no latch."""
+    ps = phase_structure
+    B = 8
+    ctl, carry = fl.make_fleet(CFG, B, ps, tile=1, seed=21,
+                               perturb_q=0.005, perturb_v=0.01)
+    run = jax.jit(lambda c: fl.fleet_rollout(
+        ctl, c, 14, ps, tile=1, use_ref=True, n_iters=300,
+        rescue_cap=4, interpret=True, perfect_estimator=False))
+    carry2, logs, cyc = run(carry)
+    assert not bool(np.asarray(logs.error).any())
+    h = np.asarray(logs.base_pos)[:, :, 2]
+    assert (h[40:] > CFG.h_ref - 0.05).all()
+    assert (h[40:] < CFG.h_ref + 0.05).all()
+    assert np.asarray(cyc.converged).mean() > 0.99
