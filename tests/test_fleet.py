@@ -146,3 +146,27 @@ def test_fleet_real_estimator(phase_structure):
     assert (h[40:] > CFG.h_ref - 0.05).all()
     assert (h[40:] < CFG.h_ref + 0.05).all()
     assert np.asarray(cyc.converged).mean() > 0.99
+
+
+def test_fleet_pacing_gait():
+    """The fleet machinery generalizes beyond the trot: a pacing fleet
+    (second gait, its own cyclic phase set + in-graph rotation) stays
+    upright with the batched phase MPC in the loop."""
+    phase_fs = ml.gait_phase_fsteps(CFG, "pacing")
+    ps = ml.build_phase_data(CFG, phase_fs)
+    B = 8
+    ctl, carry = fl.make_fleet(CFG, B, ps, tile=1, seed=5,
+                               perturb_q=0.005, perturb_v=0.01,
+                               gait="pacing")
+    run = jax.jit(lambda c: fl.fleet_rollout(
+        ctl, c, 16, ps, tile=1, use_ref=True, n_iters=400,
+        rescue_cap=B, interpret=True))
+    carry2, logs, cyc = run(carry)
+    assert not bool(np.asarray(logs.error).any())
+    h = np.asarray(logs.base_pos)[:, :, 2]
+    assert (h[50:] > CFG.h_ref - 0.05).all()
+    assert (h[50:] < CFG.h_ref + 0.05).all()
+    assert np.asarray(cyc.converged).mean() > 0.95, \
+        np.asarray(cyc.converged).mean(axis=1)
+    phases = np.asarray(cyc.phase)[:, 0]
+    assert ((phases[:-1] - phases[1:]) % 16 == 1).all()
