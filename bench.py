@@ -146,7 +146,7 @@ def run_phase_mode(args, cfg, report):
         eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
         adaptive_rho_interval=100, scaling_iters=2)
 
-    def rolled_chain(x0, st, keys, ph0, rcap):
+    def rolled_chain(x0, st, keys, ph0, rcap, see=False):
         """The production cadence: gait rolls one MPC step per cycle."""
         def body(carry, key):
             stc, xr, ph = carry
@@ -156,7 +156,8 @@ def run_phase_mode(args, cfg, report):
             _, st2, sol = ml.solve_mpc_batch_phase(
                 cfg, xr, fs, ps, ph, state=stc, shift=True,
                 n_iters=warm_iters, tile=tile, interpret=interpret,
-                rescue_cap=rcap, rescue_settings=rescue_lean)
+                rescue_cap=rcap, rescue_settings=rescue_lean,
+                stop_at_eps=see)
             return ((st2, xr, (ph - 1) % P),
                     (jnp.mean(sol.converged.astype(jnp.float32)),
                      sol.iters))
@@ -227,6 +228,25 @@ def run_phase_mode(args, cfg, report):
         float(np.asarray(convs_nr).mean()), 4)
     report["rescue_cost_frac"] = round(max(0.0, dt / dt_nr - 1.0), 4)
     report["no_rescue_solves_per_s"] = round(B / dt_nr, 1)
+
+    # ---- OSQP-contract variant: stop at the termination test --------
+    # OSQP itself returns the FIRST iterate passing its eps test
+    # (is_solved); the headline chains instead refine to the full
+    # budget (the accuracy the parity tables quote). This variant runs
+    # the production cadence under OSQP's own stopping contract
+    # (per-tile early exit, qp_phase stop_at_eps) — the
+    # apples-to-apples number against the OSQP baseline, at the
+    # eps-level accuracy OSQP itself ships (~1 N on first-step forces
+    # at eps 1e-4, tests/test_mpc_lane.py::test_stop_at_eps_early_exit).
+    chain_ee = jax.jit(functools.partial(rolled_chain, rcap=rescue_cap,
+                                         see=True))
+    convs_ee, *_ = chain_ee(xrefs, st0, keys, ph0)
+    float(jnp.sum(convs_ee))
+    (convs_ee, _, _, _, _), dt_ee = clock2(chain_ee, xrefs, st0, keys,
+                                           ph0)
+    report["stop_at_eps_solves_per_s"] = round(B / dt_ee, 1)
+    report["stop_at_eps_warm_conv"] = round(
+        float(np.asarray(convs_ee).mean()), 4)
 
     # ---- fixed-support chain (round-3 definition, secondary) --------
     fixed_j = jax.jit(fixed_chain)
@@ -355,7 +375,10 @@ def run_fleet_bench(args, cfg, report):
         B, tile, n_cycles, rescue = 4, 1, 2, 2
         use_ref = interpret = True
     else:
-        B, tile, n_cycles, rescue = 1024, 128, 10, 32
+        # tile=512: 4 lane-passes pipeline the MXU inside each kernel
+        # step (same tuning as the standalone phase chain); measured
+        # 97.7k -> 146.3k ticks/s vs tile=128 at B=1024
+        B, tile, n_cycles, rescue = 1024, 512, 10, 32
         use_ref = interpret = False
     ps = ml.build_phase_data(cfg, ml.trot_phase_fsteps(cfg))
     ctl, carry = fl.make_fleet(cfg, B, ps, tile=tile, seed=0)

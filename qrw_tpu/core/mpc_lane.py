@@ -517,7 +517,8 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
                           eps_abs: float = 1e-4, eps_rel: float = 1e-4,
                           tile: int = 128, interpret: bool = False,
                           use_ref: bool = False, rescue_cap: int = 0,
-                          rescue_settings=None):
+                          rescue_settings=None,
+                          stop_at_eps: bool = False):
     """Batched MPC solve, lane-major phase-sorted batch.
 
     xrefs (12, N+1, B); fsteps (N_gait, 12, B); phases_of (B // tile,)
@@ -587,11 +588,13 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
         # phases_of per-problem.
         assert tile == 1, "use_ref expects tile=1 (per-problem phases)"
         sol = qp_phase.solve_ref(q_r, BlS, d, phases_of,
-                                 x0=x0, y0=y0, n_iters=n_iters)
+                                 x0=x0, y0=y0, n_iters=n_iters,
+                                 stop_at_eps=stop_at_eps)
     else:
         sol = qp_phase.solve(q_r, BlS, d, phases_of, x0=x0, y0=y0,
                              n_iters=n_iters, eps_abs=eps_abs,
                              eps_rel=eps_rel, tile=tile,
+                             stop_at_eps=stop_at_eps,
                              interpret=interpret)
 
     # Support guard: a problem whose actual stance pattern does not

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from qrw_tpu.ops import lin
+
 RHO_MIN = 1e-6
 RHO_MAX = 1e6
 RHO_EQ_SCALE = 1e3       # osqp RHO_EQ_OVER_RHO_INEQ
@@ -296,11 +298,18 @@ def _solve(P, q, A, l, u, settings, x0, y0, cone=None) -> QPSolution:
                 AtRA = jnp.einsum("...ma,...m,...mb->...ab", A, w, A)
             AtRA = AtRA * D[..., None, :] * D[..., :, None]
             K = Ps + AtRA + s.sigma * jnp.eye(n, dtype=dtype)
-        # K is SPD: Cholesky-based inverse is faster and more stable on
-        # TPU than the LU path of jnp.linalg.inv
-        C = jnp.linalg.cholesky(K)
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), K.shape)
-        Kinv = jax.scipy.linalg.cho_solve((C, True), eye)
+        # K is SPD. Small orders (the 12-var WBC QP) use the fully
+        # unrolled Cholesky inverse (ops/lin.py) — elementwise over the
+        # batch, ~100x the batched LAPACK-style path on TPU; large
+        # orders (the 144-var MPC QP) keep jnp.linalg, whose blocked
+        # factorization amortizes at that size and whose unrolled form
+        # would blow up trace size as n^3.
+        if n <= 32:
+            Kinv = lin.spd_inverse(K)
+        else:
+            C = jnp.linalg.cholesky(K)
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), K.shape)
+            Kinv = jax.scipy.linalg.cho_solve((C, True), eye)
         return Kinv, rv
 
     rho0 = jnp.full(batch + (1,), s.rho, dtype)

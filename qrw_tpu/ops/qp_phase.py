@@ -233,7 +233,7 @@ def residuals(x, z, y, Ax, q, BlS_tor, G1, G2, d: PhaseQPData):
 def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, G1_ref, G2_ref,
             lu_ref, w_ref,
             x_ref, y_ref, z_ref, res_ref, *, d: PhaseQPData, n_iters,
-            check_every, eps_abs, eps_rel):
+            check_every, eps_abs, eps_rel, stop_at_eps):
     # rebuild the constant pack from refs (pallas kernels cannot close
     # over array constants); scalars ride the closure
     d = d._replace(l=lu_ref[0], u=lu_ref[1],
@@ -269,19 +269,34 @@ def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, G1_ref, G2_ref,
 
     n_chunks = -(-n_iters // check_every)
 
-    def chunk(c, carry):
-        x, z, y, Ax, it_conv = carry
+    # Optional early exit (stop_at_eps): once EVERY lane of the tile
+    # passes the OSQP termination test at a chunk boundary, further
+    # chunks are over-solving past eps — stop the tile (lax.while_loop,
+    # data-dependent trip count). Off by default: the published parity
+    # numbers (PARITY.md) are captured with the full-budget refinement,
+    # and the eps-1e-4 exit point carries ~0.1 N-scale first-step force
+    # error where the refined solve reaches ~1e-3 N. Use it where
+    # iteration budget, not accuracy headroom, is the binding constraint
+    # (it is OSQP's own stopping contract, osqp is_solved).
+    def chunk_cond(carry):
+        c, _, _, _, _, _, all_cv = carry
+        return (c < n_chunks) & ~(all_cv & stop_at_eps)
+
+    def chunk(carry):
+        c, x, z, y, Ax, it_conv, _ = carry
         hi = jnp.minimum((c + 1) * check_every, n_iters)
         x, z, y, Ax = jax.lax.fori_loop(c * check_every, hi, step,
                                         (x, z, y, Ax))
+        cv = conv_test(x, z, y, Ax)
         it_conv = jnp.minimum(
-            it_conv, jnp.where(conv_test(x, z, y, Ax),
-                               hi.astype(f32), float(n_iters)))
-        return x, z, y, Ax, it_conv
+            it_conv, jnp.where(cv, hi.astype(f32), float(n_iters)))
+        return c + 1, x, z, y, Ax, it_conv, jnp.all(cv)
 
     it0 = jnp.full((q.shape[-1],), float(n_iters), f32)
-    x, z, y, Ax, it_conv = jax.lax.fori_loop(0, n_chunks, chunk,
-                                             (x, z, y, Ax, it0))
+    _, x, z, y, Ax, it_conv, _ = jax.lax.while_loop(
+        chunk_cond, chunk,
+        (jnp.asarray(0, jnp.int32), x, z, y, Ax, it0,
+         jnp.asarray(False)))
     x_ref[...] = x
     y_ref[...] = y
     z_ref[...] = z
@@ -304,7 +319,7 @@ class PhaseQPResult(NamedTuple):
 def solve(q, BlS, data: PhaseQPData, phases_of,
           x0=None, y0=None, n_iters: int = 300, eps_abs: float = 1e-4,
           eps_rel: float = 1e-4, tile: int = 128,
-          check_every: int = 25,
+          check_every: int = 25, stop_at_eps: bool = False,
           interpret: bool = False) -> PhaseQPResult:
     """Solve a phase-sorted batch. q (n, B); BlS (6, n, B); phases_of
     (B // tile,) int array: phase id of each tile (every problem in a
@@ -362,7 +377,8 @@ def solve(q, BlS, data: PhaseQPData, phases_of,
         functools.partial(_kernel, d=data, n_iters=int(n_iters),
                           check_every=int(check_every),
                           eps_abs=float(eps_abs),
-                          eps_rel=float(eps_rel)),
+                          eps_rel=float(eps_rel),
+                          stop_at_eps=bool(stop_at_eps)),
         grid=(n_tiles,),
         in_specs=[
             lane(n),
@@ -400,7 +416,8 @@ def solve(q, BlS, data: PhaseQPData, phases_of,
 
 
 def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
-              y0=None, n_iters: int = 300, check_every: int = 25):
+              y0=None, n_iters: int = 300, check_every: int = 25,
+              stop_at_eps: bool = False):
     """Pure-XLA reference implementation (same math, no pallas): for
     tests and CPU fallbacks. phase_of_problem (B,) int (numpy or
     traced)."""
@@ -465,19 +482,26 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
 
     n_chunks = -(-n_iters // check_every)
 
-    def chunk(c, carry):
-        x, z, y, Ax, it_conv = carry
+    # same optional whole-batch early exit as the kernel (there per tile)
+    def chunk_cond(carry):
+        c, _, _, _, _, _, all_cv = carry
+        return (c < n_chunks) & ~(all_cv & stop_at_eps)
+
+    def chunk(carry):
+        c, x, z, y, Ax, it_conv, _ = carry
         hi = jnp.minimum((c + 1) * check_every, n_iters)
         x, z, y, Ax = jax.lax.fori_loop(c * check_every, hi, it,
                                         (x, z, y, Ax))
         _, _, cv = residual_test(x, z, y, Ax)
         it_conv = jnp.minimum(
             it_conv, jnp.where(cv, hi.astype(f32), float(n_iters)))
-        return x, z, y, Ax, it_conv
+        return c + 1, x, z, y, Ax, it_conv, jnp.all(cv)
 
     it0 = jnp.full((B,), float(n_iters), f32)
-    x, z, y, Ax, it_conv = jax.lax.fori_loop(0, n_chunks, chunk,
-                                             (x, z, y, Ax, it0))
+    _, x, z, y, Ax, it_conv, _ = jax.lax.while_loop(
+        chunk_cond, chunk,
+        (jnp.asarray(0, jnp.int32), x, z, y, Ax, it0,
+         jnp.asarray(False)))
     pri, dua, conv = residual_test(x, z, y, Ax)
     return PhaseQPResult(x=x, y=y, z=z, pri_res=pri, dua_res=dua,
                          converged=conv,

@@ -17,9 +17,15 @@ Conventions match Pinocchio's free-flyer:
 
 Internally the algorithms use Featherstone spatial algebra in body-local
 coordinates with angular-first 6-vectors; conversion happens at the API
-boundary only. The 13-body tree is unrolled at trace time (static topology),
-so XLA sees straight-line fused elementwise/3x3-matmul code — ideal for the
-VPU; batching over robots/scenarios is done with jax.vmap outside.
+boundary only. The tree is LEG-VECTORIZED: the four legs are identical
+three-joint chains hanging off the base (models/solo12.py lays bodies
+out leg-major, body 1 + 3*leg + level), so every recursion runs over
+THREE sequential tree levels with the four legs batched on a leading
+axis — (4, 3) / (4, 3, 3) / (4, 6, 6) tensors instead of per-body
+3-vectors. This cuts the op count ~4x versus a per-body unroll (the
+per-tick cost of the vmapped fleet pipeline is op-dispatch-bound, not
+FLOP-bound) while producing identical values; batching over
+robots/scenarios is done with jax.vmap outside.
 """
 
 from __future__ import annotations
@@ -91,23 +97,69 @@ def _cast_model(model: JaxModel, dtype) -> JaxModel:
 
 
 # ----------------------------------------------------------------------
+# Leg-vectorized primitives: leading axis = the 4 legs
+# ----------------------------------------------------------------------
+
+def _legs_view(a):
+    """(13, ...) body array -> (4 legs, 3 levels, ...) view of bodies
+    1..12 (leg-major layout, body index 1 + 3*leg + level)."""
+    return a[1:].reshape((4, 3) + a.shape[1:])
+
+
+def _skew_legs(v):
+    """(..., 3) -> (..., 3, 3) cross-product matrices."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _axis_rot_legs(axes, q):
+    """Rodrigues for (4, 3) unit axes and (4,) angles -> (4, 3, 3)."""
+    c, s = jnp.cos(q), jnp.sin(q)
+    K = _skew_legs(axes)
+    K2 = jnp.einsum("fab,fbc->fac", K, K)
+    return (jnp.eye(3, dtype=K.dtype)
+            + s[:, None, None] * K + (1.0 - c)[:, None, None] * K2)
+
+
+# ----------------------------------------------------------------------
 # World-frame kinematics (FK, frame velocities, classical drift)
 # ----------------------------------------------------------------------
+
+def _fk_levels(model: JaxModel, base_pos, base_quat, qj):
+    """Shared FK sweep: returns (R0, [R per level (4,3,3)],
+    [p per level (4,3)], axes (4,3,3), jpos (4,3,3))."""
+    R0 = quat_to_rot(base_quat)
+    axes = _legs_view(model.joint_axis)           # (4, 3, 3) leg, lvl, xyz
+    jpos = _legs_view(model.joint_pos)
+    q = qj.reshape(4, 3)
+    Rp = jnp.broadcast_to(R0, (4, 3, 3))
+    pp = jnp.broadcast_to(base_pos, (4, 3))
+    Rs, ps = [], []
+    for l in range(3):
+        Rj = _axis_rot_legs(axes[:, l], q[:, l])
+        ps.append(pp + jnp.einsum("fab,fb->fa", Rp, jpos[:, l]))
+        Rs.append(jnp.einsum("fab,fbc->fac", Rp, Rj))
+        Rp, pp = Rs[-1], ps[-1]
+    return R0, Rs, ps, axes, jpos
+
+
+def _assemble13(x0, xs):
+    """(x0 (..,), [three (4, ..) levels]) -> (13, ..) body-ordered."""
+    legs = jnp.stack(xs, axis=1)                  # (4, 3, ...)
+    legs = legs.reshape((12,) + legs.shape[2:])
+    return jnp.concatenate([x0[None], legs], axis=0)
+
 
 def fk_world(model: JaxModel, base_pos, base_quat, qj):
     """Forward kinematics: world rotation and origin of each body.
 
     Returns (R: (13,3,3), p: (13,3))."""
     model = _cast_model(model, qj.dtype)
-    R0 = quat_to_rot(base_quat)
-    Rs = [R0]
-    ps = [base_pos]
-    for i in range(1, NUM_BODIES):
-        par = model.parent[i]
-        Rj = _axis_rot(model.joint_axis[i], qj[i - 1])
-        Rs.append(Rs[par] @ Rj)
-        ps.append(ps[par] + Rs[par] @ model.joint_pos[i])
-    return jnp.stack(Rs), jnp.stack(ps)
+    R0, Rs, ps, _, _ = _fk_levels(model, base_pos, base_quat, qj)
+    return _assemble13(R0, Rs), _assemble13(base_pos, ps)
 
 
 class FrameKin(NamedTuple):
@@ -130,46 +182,51 @@ def frame_kinematics(model: JaxModel, base_pos, base_quat, qj,
     (src/InvKin.cpp:48).
     """
     model = _cast_model(model, qj.dtype)
+    dtype = qj.dtype
+    axes = _legs_view(model.joint_axis)
+    jpos = _legs_view(model.joint_pos)
+    q = qj.reshape(4, 3)
+    qd = vj.reshape(4, 3)
+
     R0 = quat_to_rot(base_quat)
     w0 = R0 @ base_vel_local[3:6]
     v0 = R0 @ base_vel_local[0:3]
-    R = [R0]
-    p = [base_pos]
-    w = [w0]
-    v = [v0]
     # zero *spatial* acceleration (Pinocchio convention: constant local
     # twist) => classical acceleration of the base origin is omega x v
-    dw = [jnp.zeros(3, dtype=base_pos.dtype)]
-    a = [jnp.cross(w0, v0)]
-    for i in range(1, NUM_BODIES):
-        par = model.parent[i]
-        Rj = _axis_rot(model.joint_axis[i], qj[i - 1])
-        Ri = R[par] @ Rj
-        r_w = R[par] @ model.joint_pos[i]
-        pi = p[par] + r_w
-        a_w = R[par] @ model.joint_axis[i]
-        qd = vj[i - 1]
-        wi = w[par] + a_w * qd
-        vi = v[par] + jnp.cross(w[par], r_w)
-        dwi = dw[par] + qd * jnp.cross(w[par], a_w)
-        ai = a[par] + jnp.cross(dw[par], r_w) + jnp.cross(w[par], jnp.cross(w[par], r_w))
-        R.append(Ri); p.append(pi); w.append(wi); v.append(vi)
-        dw.append(dwi); a.append(ai)
-    pos, vel, om, drift = [], [], [], []
-    for f in range(NUM_FEET):
-        b = model.foot_body[f]
-        rc = R[b] @ model.foot_pos[f]
-        pos.append(p[b] + rc)
-        vel.append(v[b] + jnp.cross(w[b], rc))
-        om.append(w[b])
-        drift.append(a[b] + jnp.cross(dw[b], rc)
-                     + jnp.cross(w[b], jnp.cross(w[b], rc)))
-    return FrameKin(pos=jnp.stack(pos), vel=jnp.stack(vel),
-                    omega=jnp.stack(om), drift=jnp.stack(drift),
-                    R=jnp.stack(R), p=jnp.stack(p))
+    Rp = jnp.broadcast_to(R0, (4, 3, 3))
+    pp = jnp.broadcast_to(base_pos, (4, 3))
+    wp = jnp.broadcast_to(w0, (4, 3))
+    vp = jnp.broadcast_to(v0, (4, 3))
+    dwp = jnp.zeros((4, 3), dtype)
+    ap = jnp.broadcast_to(jnp.cross(w0, v0), (4, 3))
+
+    Rs, ps = [], []
+    for l in range(3):
+        Rj = _axis_rot_legs(axes[:, l], q[:, l])
+        r_w = jnp.einsum("fab,fb->fa", Rp, jpos[:, l])
+        a_w = jnp.einsum("fab,fb->fa", Rp, axes[:, l])
+        qdl = qd[:, l][:, None]
+        Ri = jnp.einsum("fab,fbc->fac", Rp, Rj)
+        pi = pp + r_w
+        wi = wp + a_w * qdl
+        vi = vp + jnp.cross(wp, r_w)
+        dwi = dwp + qdl * jnp.cross(wp, a_w)
+        ai = ap + jnp.cross(dwp, r_w) + jnp.cross(wp, jnp.cross(wp, r_w))
+        Rs.append(Ri)
+        ps.append(pi)
+        Rp, pp, wp, vp, dwp, ap = Ri, pi, wi, vi, dwi, ai
+
+    rc = jnp.einsum("fab,fb->fa", Rp, model.foot_pos)      # (4, 3)
+    pos = pp + rc
+    vel = vp + jnp.cross(wp, rc)
+    drift = (ap + jnp.cross(dwp, rc)
+             + jnp.cross(wp, jnp.cross(wp, rc)))
+    return FrameKin(pos=pos, vel=vel, omega=wp, drift=drift,
+                    R=_assemble13(R0, Rs),
+                    p=_assemble13(base_pos, ps))
 
 
-def foot_jacobians(model: JaxModel, base_pos, base_quat, qj):
+def foot_jacobians(model: JaxModel, base_pos, base_quat, qj, fk=None):
     """LOCAL_WORLD_ALIGNED linear foot Jacobians, (4, 3, 18).
 
     Columns 0:6 act on the local base twist [linear; angular]
@@ -177,90 +234,118 @@ def foot_jacobians(model: JaxModel, base_pos, base_quat, qj):
     rates. The (4, 3, 12) actuated sub-block has per-leg 3x3 diagonal
     structure (each foot depends only on its own leg's joints), which the
     IK exploits (src/InvKin.cpp:56).
+
+    fk: optional (R (13,3,3), p (13,3)) body poses from a prior
+    fk_world / frame_kinematics at the SAME configuration — shares the
+    kinematic sweep with the caller (the WBC and the simulator both
+    need kinematics and Jacobians at one configuration per tick).
     """
     model = _cast_model(model, qj.dtype)
-    R, p = fk_world(model, base_pos, base_quat, qj)
-    axes_w = [None] * NUM_BODIES
-    for i in range(1, NUM_BODIES):
-        axes_w[i] = R[model.parent[i]] @ model.joint_axis[i]
-    Js = []
-    for f in range(NUM_FEET):
-        b = model.foot_body[f]
-        pf = p[b] + R[b] @ model.foot_pos[f]
-        J = jnp.zeros((3, 18), dtype=pf.dtype)
-        J = J.at[:, 0:3].set(R[0])
-        J = J.at[:, 3:6].set(-skew(pf - p[0]) @ R[0])
-        i = b
-        while i > 0:
-            col = jnp.cross(axes_w[i], pf - p[i])
-            J = J.at[:, 6 + i - 1].set(col)
-            i = model.parent[i]
-        Js.append(J)
-    return jnp.stack(Js)
+    if fk is None:
+        fk = fk_world(model, base_pos, base_quat, qj)
+    R13, p13 = fk
+    R0, p0 = R13[0], p13[0]
+    R_legs = _legs_view(R13)                      # (4, 3, 3, 3)
+    p_legs = _legs_view(p13)                      # (4, 3, 3)
+    axes = _legs_view(model.joint_axis)
+
+    # world joint axes: parent rotation per level (base, lvl0, lvl1)
+    Rpar = jnp.concatenate(
+        [jnp.broadcast_to(R0, (4, 1, 3, 3)), R_legs[:, :2]], axis=1)
+    axes_w = jnp.einsum("flab,flb->fla", Rpar, axes)       # (4, 3, 3)
+
+    pf = p_legs[:, 2] + jnp.einsum("fab,fb->fa", R_legs[:, 2],
+                                   model.foot_pos)          # (4, 3)
+    # joint columns: cross(axis_w, pf - p_joint), block-diagonal per leg
+    cols = jnp.cross(axes_w, pf[:, None, :] - p_legs)       # (4, 3lvl, 3)
+    eye4 = jnp.eye(4, dtype=qj.dtype)
+    Jj = (eye4[:, None, :, None]
+          * cols.transpose(0, 2, 1)[:, :, None, :]).reshape(4, 3, 12)
+    Jb_lin = jnp.broadcast_to(R0, (4, 3, 3))
+    Jb_ang = -jnp.einsum("fab,bc->fac", _skew_legs(pf - p0), R0)
+    return jnp.concatenate([Jb_lin, Jb_ang, Jj], axis=2)
 
 
 # ----------------------------------------------------------------------
 # Featherstone spatial algebra (local coordinates, angular-first)
 # ----------------------------------------------------------------------
 
-def _xmot(E, r, m):
-    """Motion transform child<-parent: m = (omega, v)."""
-    w, v = m[:3], m[3:]
-    return jnp.concatenate([E @ w, E @ (v - jnp.cross(r, w))])
+def _xmot_legs(E, r, m):
+    """Motion transform child<-parent, legs batched: E (4,3,3), r (4,3),
+    m (4,6) with m = (omega, v)."""
+    w, v = m[..., :3], m[..., 3:]
+    return jnp.concatenate(
+        [jnp.einsum("fab,fb->fa", E, w),
+         jnp.einsum("fab,fb->fa", E, v - jnp.cross(r, w))], axis=-1)
 
 
-def _xforce_to_parent(E, r, f):
-    """Force transform child->parent: f = (n, f_lin)."""
-    n, fl = f[:3], f[3:]
-    fl_p = E.T @ fl
-    return jnp.concatenate([E.T @ n + jnp.cross(r, fl_p), fl_p])
+def _xforce_legs(E, r, f):
+    """Force transform child->parent, legs batched: f = (n, f_lin)."""
+    n, fl = f[..., :3], f[..., 3:]
+    fl_p = jnp.einsum("fba,fb->fa", E, fl)        # E.T @ fl
+    n_p = jnp.einsum("fba,fb->fa", E, n) + jnp.cross(r, fl_p)
+    return jnp.concatenate([n_p, fl_p], axis=-1)
 
 
-def _cross_motion(a, b):
-    aw, av = a[:3], a[3:]
-    bw, bv = b[:3], b[3:]
-    return jnp.concatenate([jnp.cross(aw, bw), jnp.cross(aw, bv) + jnp.cross(av, bw)])
+def _cross_motion_legs(a, b):
+    aw, av = a[..., :3], a[..., 3:]
+    bw, bv = b[..., :3], b[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(aw, bw), jnp.cross(aw, bv) + jnp.cross(av, bw)],
+        axis=-1)
+
+
+def _cross_force_legs(v, f):
+    w, vl = v[..., :3], v[..., 3:]
+    n, fl = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, n) + jnp.cross(vl, fl), jnp.cross(w, fl)], axis=-1)
+
+
+def _apply_inertia_legs(mass, com, inertia_o, v6):
+    """Spatial inertia applied to motion, legs batched: mass (4,),
+    com (4,3), inertia_o (4,3,3), v6 (4,6) = (omega, v) -> (n, f)."""
+    w, vl = v6[..., :3], v6[..., 3:]
+    n = (jnp.einsum("fab,fb->fa", inertia_o, w)
+         + mass[:, None] * jnp.cross(com, vl))
+    f = mass[:, None] * vl - mass[:, None] * jnp.cross(com, w)
+    return jnp.concatenate([n, f], axis=-1)
+
+
+def _apply_inertia_base(model: JaxModel, v6):
+    w, vl = v6[:3], v6[3:]
+    m = model.mass[0]
+    c = model.com[0]
+    n = model.inertia_o[0] @ w + m * jnp.cross(c, vl)
+    f = m * vl - m * jnp.cross(c, w)
+    return jnp.concatenate([n, f])
 
 
 def _cross_force(v, f):
     w, vl = v[:3], v[3:]
     n, fl = f[:3], f[3:]
-    return jnp.concatenate([jnp.cross(w, n) + jnp.cross(vl, fl), jnp.cross(w, fl)])
+    return jnp.concatenate([jnp.cross(w, n) + jnp.cross(vl, fl),
+                            jnp.cross(w, fl)])
 
 
-def _apply_inertia(model: JaxModel, i, v6):
-    """Spatial inertia of body i applied to motion (omega, v) -> (n, f)."""
-    w, vl = v6[:3], v6[3:]
-    m = model.mass[i]
-    c = model.com[i]
-    n = model.inertia_o[i] @ w + m * jnp.cross(c, vl)
-    f = m * vl - m * jnp.cross(c, w)
-    return jnp.concatenate([n, f])
+def _spatial_inertia_legs(mass, com, inertia_o, dtype):
+    """6x6 spatial inertias (angular-first), legs batched -> (4, 6, 6)."""
+    cx = _skew_legs(com)
+    m = mass[:, None, None]
+    top = jnp.concatenate([inertia_o, m * cx], axis=-1)
+    bot = jnp.concatenate(
+        [-m * cx, m * jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                       (4, 3, 3))], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
-def _spatial_inertia_mat(model: JaxModel, i):
-    """6x6 spatial inertia of body i (angular-first)."""
-    m = model.mass[i]
-    cx = skew(model.com[i])
-    top = jnp.concatenate([model.inertia_o[i], m * cx], axis=1)
-    bot = jnp.concatenate([-m * cx, m * jnp.eye(3, dtype=cx.dtype)], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
-
-
-def _xmat(E, r):
-    """6x6 motion transform child<-parent (angular-first)."""
-    z = jnp.zeros((3, 3), dtype=E.dtype)
-    top = jnp.concatenate([E, z], axis=1)
-    bot = jnp.concatenate([-E @ skew(r), E], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
-
-
-def _joint_transforms(model: JaxModel, qj):
-    Es, rs = [None], [None]
-    for i in range(1, NUM_BODIES):
-        Es.append(_axis_rot(model.joint_axis[i], qj[i - 1]).T)
-        rs.append(model.joint_pos[i])
-    return Es, rs
+def _xmat_legs(E, r):
+    """6x6 motion transforms child<-parent (angular-first) -> (4, 6, 6)."""
+    z = jnp.zeros((4, 3, 3), dtype=E.dtype)
+    top = jnp.concatenate([E, z], axis=-1)
+    bot = jnp.concatenate([-jnp.einsum("fab,fbc->fac", E, _skew_legs(r)),
+                           E], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _reorder_in(v6):
@@ -273,6 +358,20 @@ def _reorder_out(f6):
     return jnp.concatenate([f6[3:6], f6[0:3]])
 
 
+def _joint_frames(model: JaxModel, qj):
+    """Per-level joint transforms: Es[l] (4,3,3) child<-parent rotation,
+    rs[l] (4,3) joint origins, S[l] (4,6) joint motion subspaces."""
+    axes = _legs_view(model.joint_axis)
+    jpos = _legs_view(model.joint_pos)
+    q = qj.reshape(4, 3)
+    z3 = jnp.zeros((4, 3), qj.dtype)
+    Es = [_axis_rot_legs(axes[:, l], q[:, l]).swapaxes(-1, -2)
+          for l in range(3)]
+    rs = [jpos[:, l] for l in range(3)]
+    Ss = [jnp.concatenate([axes[:, l], z3], axis=-1) for l in range(3)]
+    return Es, rs, Ss
+
+
 def rnea(model: JaxModel, base_quat, qj, v, a, gravity: float = 9.81):
     """Recursive Newton-Euler inverse dynamics.
 
@@ -281,34 +380,49 @@ def rnea(model: JaxModel, base_quat, qj, v, a, gravity: float = 9.81):
     torques — matching pin.rnea as used in scripts/QP_WBC.py:104,116.
     """
     model = _cast_model(model, v.dtype)
-    Es, rs = _joint_transforms(model, qj)
+    dtype = v.dtype
+    Es, rs, Ss = _joint_frames(model, qj)
+    mass = _legs_view(model.mass)                 # (4, 3)
+    com = _legs_view(model.com)                   # (4, 3, 3)
+    Io = _legs_view(model.inertia_o)              # (4, 3, 3, 3)
+    vj = v[6:].reshape(4, 3)
+    aj = a[6:].reshape(4, 3)
+
     R0 = quat_to_rot(base_quat)
     v0 = _reorder_in(v[:6])
     a0 = _reorder_in(a[:6])
     # gravity pseudo-acceleration in base coordinates
-    gvec = jnp.array([0.0, 0.0, gravity], dtype=v.dtype)
-    a0 = a0 + jnp.concatenate([jnp.zeros(3, dtype=v.dtype), R0.T @ gvec])
+    gvec = jnp.array([0.0, 0.0, gravity], dtype=dtype)
+    a0 = a0 + jnp.concatenate([jnp.zeros(3, dtype=dtype), R0.T @ gvec])
 
-    vs = [v0]
-    accs = [a0]
-    fs = [None] * NUM_BODIES
-    fs[0] = _apply_inertia(model, 0, a0) + _cross_force(v0, _apply_inertia(model, 0, v0))
-    for i in range(1, NUM_BODIES):
-        par = model.parent[i]
-        S = jnp.concatenate([model.joint_axis[i], jnp.zeros(3, dtype=v.dtype)])
-        vi = _xmot(Es[i], rs[i], vs[par]) + S * v[6 + i - 1]
-        ai = (_xmot(Es[i], rs[i], accs[par]) + S * a[6 + i - 1]
-              + _cross_motion(vi, S * v[6 + i - 1]))
+    vp = jnp.broadcast_to(v0, (4, 6))
+    ap = jnp.broadcast_to(a0, (4, 6))
+    vs, fs = [], []
+    for l in range(3):
+        Sd = Ss[l] * vj[:, l][:, None]
+        vi = _xmot_legs(Es[l], rs[l], vp) + Sd
+        ai = (_xmot_legs(Es[l], rs[l], ap) + Ss[l] * aj[:, l][:, None]
+              + _cross_motion_legs(vi, Sd))
+        fi = (_apply_inertia_legs(mass[:, l], com[:, l], Io[:, l], ai)
+              + _cross_force_legs(
+                  vi, _apply_inertia_legs(mass[:, l], com[:, l],
+                                          Io[:, l], vi)))
         vs.append(vi)
-        accs.append(ai)
-        fs[i] = _apply_inertia(model, i, ai) + _cross_force(vi, _apply_inertia(model, i, vi))
-    tau_j = [None] * 12
-    for i in range(NUM_BODIES - 1, 0, -1):
-        par = model.parent[i]
-        S = jnp.concatenate([model.joint_axis[i], jnp.zeros(3, dtype=v.dtype)])
-        tau_j[i - 1] = S @ fs[i]
-        fs[par] = fs[par] + _xforce_to_parent(Es[i], rs[i], fs[i])
-    return jnp.concatenate([_reorder_out(fs[0]), jnp.stack(tau_j)])
+        fs.append(fi)
+        vp, ap = vi, ai
+
+    f0 = (_apply_inertia_base(model, a0)
+          + _cross_force(v0, _apply_inertia_base(model, v0)))
+    tau = [None] * 3
+    f_acc = fs[2]
+    for l in (2, 1, 0):
+        tau[l] = jnp.sum(Ss[l] * f_acc, axis=-1)          # (4,)
+        if l > 0:
+            f_acc = fs[l - 1] + _xforce_legs(Es[l], rs[l], f_acc)
+        else:
+            f0 = f0 + jnp.sum(_xforce_legs(Es[0], rs[0], f_acc), axis=0)
+    tau_j = jnp.stack(tau, axis=1).reshape(12)            # leg-major
+    return jnp.concatenate([_reorder_out(f0), tau_j])
 
 
 def crba(model: JaxModel, qj):
@@ -316,39 +430,58 @@ def crba(model: JaxModel, qj):
     Pinocchio free-flyer coordinates (scripts/QP_WBC.py:91). The base
     orientation does not affect M in local coordinates."""
     model = _cast_model(model, qj.dtype)
-    Es, rs = _joint_transforms(model, qj)
-    Ic = [_spatial_inertia_mat(model, i) for i in range(NUM_BODIES)]
-    X = [None] + [_xmat(Es[i], rs[i]) for i in range(1, NUM_BODIES)]
-    for i in range(NUM_BODIES - 1, 0, -1):
-        par = model.parent[i]
-        Ic[par] = Ic[par] + X[i].T @ Ic[i] @ X[i]
-    dtype = Ic[0].dtype
-    H = jnp.zeros((18, 18), dtype=dtype)
-    # base block (featherstone (ang, lin) -> reorder below)
-    for i in range(1, NUM_BODIES):
-        S = jnp.concatenate([model.joint_axis[i], jnp.zeros(3, dtype=dtype)])
-        F = Ic[i] @ S
-        H = H.at[6 + i - 1, 6 + i - 1].set(S @ F)
-        j = i
-        Fj = F
-        while model.parent[j] > 0:
-            Fj = X[j].T @ Fj
-            j = model.parent[j]
-            Sj = jnp.concatenate([model.joint_axis[j], jnp.zeros(3, dtype=dtype)])
-            val = Fj @ Sj
-            H = H.at[6 + i - 1, 6 + j - 1].set(val)
-            H = H.at[6 + j - 1, 6 + i - 1].set(val)
-        Fb = X[j].T @ Fj  # into base coordinates
-        col = _reorder_out(Fb)  # (force, torque) ordering for rows 0:6
-        H = H.at[0:6, 6 + i - 1].set(col)
-        H = H.at[6 + i - 1, 0:6].set(col)
-    Ib = Ic[0]
-    # reorder base 6x6 block from (ang, lin) to (lin, ang)
+    dtype = qj.dtype
+    Es, rs, Ss = _joint_frames(model, qj)
+    mass = _legs_view(model.mass)
+    com = _legs_view(model.com)
+    Io = _legs_view(model.inertia_o)
+    X = [_xmat_legs(Es[l], rs[l]) for l in range(3)]
+    Ic = [_spatial_inertia_legs(mass[:, l], com[:, l], Io[:, l], dtype)
+          for l in range(3)]
+    # composite inertias up the chain (legs batched)
+    for l in (2, 1):
+        Ic[l - 1] = Ic[l - 1] + jnp.einsum(
+            "fba,fbc,fcd->fad", X[l], Ic[l], X[l])
+    from_base = jnp.einsum("fba,fbc,fcd->fad", X[0], Ic[0], X[0])
+    Icb = _spatial_inertia_mat_base(model, dtype) + jnp.sum(from_base,
+                                                            axis=0)
+
+    # joint-joint block: per-leg 3x3, pairs (i, j<=i) via propagated F
+    Hleg = jnp.zeros((4, 3, 3), dtype)
+    cols_b = []                                   # base coupling per level
+    for i in (2, 1, 0):
+        F = jnp.einsum("fab,fb->fa", Ic[i], Ss[i])        # (4, 6)
+        Hleg = Hleg.at[:, i, i].set(jnp.sum(Ss[i] * F, axis=-1))
+        for j in range(i - 1, -1, -1):
+            F = jnp.einsum("fba,fb->fa", X[j + 1], F)     # X' F
+            val = jnp.sum(F * Ss[j], axis=-1)
+            Hleg = Hleg.at[:, i, j].set(val)
+            Hleg = Hleg.at[:, j, i].set(val)
+        Fb = jnp.einsum("fba,fb->fa", X[0], F)            # into base
+        cols_b.append(Fb)
+    cols_b = jnp.stack([cols_b[2], cols_b[1], cols_b[0]], axis=1)
+    # (4 legs, 3 lvls, 6): featherstone (n, f) -> pinocchio [force; torque]
+    cols_b = jnp.concatenate([cols_b[..., 3:6], cols_b[..., 0:3]],
+                             axis=-1)
+
+    eye4 = jnp.eye(4, dtype=dtype)
+    Hjj = (eye4[:, None, :, None] * Hleg[:, :, None, :]).reshape(12, 12)
+    Hbj = cols_b.reshape(12, 6).T                          # (6, 12)
     P = jnp.zeros((6, 6), dtype=dtype)
     P = P.at[0:3, 3:6].set(jnp.eye(3, dtype=dtype))
     P = P.at[3:6, 0:3].set(jnp.eye(3, dtype=dtype))
-    H = H.at[0:6, 0:6].set(P @ Ib @ P.T)
-    return H
+    Hbb = P @ Icb @ P.T
+    top = jnp.concatenate([Hbb, Hbj], axis=1)
+    bot = jnp.concatenate([Hbj.T, Hjj], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _spatial_inertia_mat_base(model: JaxModel, dtype):
+    m = model.mass[0]
+    cx = skew(model.com[0])
+    top = jnp.concatenate([model.inertia_o[0], m * cx], axis=1)
+    bot = jnp.concatenate([-m * cx, m * jnp.eye(3, dtype=dtype)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def nonlinear_effects(model: JaxModel, base_quat, qj, v, gravity: float = 9.81):

@@ -138,7 +138,7 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
                   v_ref_schedule=None, f_ext_schedule=None,
                   perfect_estimator: bool = True,
                   use_ref: bool = False, interpret: bool = False,
-                  with_logs: bool = True
+                  with_logs: bool = True, stop_at_eps: bool = False
                   ) -> Tuple[FleetCarry, Optional[FleetLog],
                              FleetCycleLog]:
     """Run `n_cycles` MPC cycles (n_cycles * k_mpc ticks) of the fleet.
@@ -214,7 +214,8 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
         x_f_l, lane_st, sol = ml.solve_mpc_batch_phase(
             cfg, xr_l, fs_l, ps, phases, state=lane_st, shift=True,
             n_iters=n_iters, tile=tile, interpret=interpret,
-            use_ref=use_ref, rescue_cap=rescue_cap)
+            use_ref=use_ref, rescue_cap=rescue_cap,
+            stop_at_eps=stop_at_eps)
         x_f_b = x_f_l.transpose(2, 0, 1).astype(dtype)   # (B, 24, N)
         cs, res = vmap_post(cs, pre, x_f_b, k0)
         ss, dev = vmap_sim(ss, res, fe_slice[0])

@@ -223,6 +223,31 @@ def test_iteration_counts_are_real():
     assert (np.asarray(sol2.iters) <= iters).all()
 
 
+def test_stop_at_eps_early_exit():
+    """stop_at_eps=True stops the chunk loop once every lane passes the
+    OSQP termination test: still converged, solution within the
+    eps-level tolerance of the refined full-budget solve, and the
+    refined run must not report MORE iterations (same first-pass
+    counts; the exit only drops post-convergence refinement)."""
+    xrefs, fsteps, phase_fs = _batch([0], 4, vmax=0.3)
+    ps = ml.build_phase_data(CFG, phase_fs)
+    x_full, st_full, sol_full = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([0]),
+        n_iters=800, tile=4, interpret=True))()
+    x_ee, st_ee, sol_ee = jax.jit(lambda: ml.solve_mpc_batch_phase(
+        CFG, jnp.asarray(xrefs), jnp.asarray(fsteps), ps, np.array([0]),
+        n_iters=800, tile=4, interpret=True, stop_at_eps=True))()
+    assert bool(np.asarray(sol_ee.converged).all())
+    np.testing.assert_array_equal(np.asarray(sol_ee.iters),
+                                  np.asarray(sol_full.iters))
+    # eps-level agreement on the shipped first-step forces (~1 N at
+    # eps 1e-4 on ~25 N stance forces — the measured accuracy cost of
+    # stopping at the termination test instead of refining; why the
+    # parity-grade paths keep stop_at_eps=False)
+    d = np.abs(np.asarray(x_ee[12:, 0]) - np.asarray(x_full[12:, 0]))
+    assert d.max() < 2.0, d.max()
+
+
 def test_rescue_recovers_failed_lanes():
     """rescue_cap routes lanes that fail the phase solve into the
     per-problem support-reduced path: a budget-starved phase solve (1
