@@ -274,29 +274,46 @@ def _kernel(q_ref, BlS_ref, x0_ref, y0_ref, Kinv_ref, G1_ref, G2_ref,
     # chunks are over-solving past eps — stop the tile (lax.while_loop,
     # data-dependent trip count). Off by default: the published parity
     # numbers (PARITY.md) are captured with the full-budget refinement,
-    # and the eps-1e-4 exit point carries ~0.1 N-scale first-step force
+    # and the eps-1e-4 exit point carries ~1 N-scale first-step force
     # error where the refined solve reaches ~1e-3 N. Use it where
     # iteration budget, not accuracy headroom, is the binding constraint
-    # (it is OSQP's own stopping contract, osqp is_solved).
-    def chunk_cond(carry):
-        c, _, _, _, _, _, all_cv = carry
-        return (c < n_chunks) & ~(all_cv & stop_at_eps)
+    # (it is OSQP's own stopping contract, osqp is_solved). The default
+    # path keeps the STATIC fori_loop: Mosaic pipelines a static-bound
+    # chunk loop far better than a while_loop (a blanket while_loop
+    # conversion measured 5x slower on the cold 800-iteration dispatch).
+    it0 = jnp.full((q.shape[-1],), float(n_iters), f32)
 
-    def chunk(carry):
-        c, x, z, y, Ax, it_conv, _ = carry
+    def chunk_work(c, x, z, y, Ax, it_conv):
         hi = jnp.minimum((c + 1) * check_every, n_iters)
         x, z, y, Ax = jax.lax.fori_loop(c * check_every, hi, step,
                                         (x, z, y, Ax))
         cv = conv_test(x, z, y, Ax)
         it_conv = jnp.minimum(
             it_conv, jnp.where(cv, hi.astype(f32), float(n_iters)))
-        return c + 1, x, z, y, Ax, it_conv, jnp.all(cv)
+        return x, z, y, Ax, it_conv, cv
 
-    it0 = jnp.full((q.shape[-1],), float(n_iters), f32)
-    _, x, z, y, Ax, it_conv, _ = jax.lax.while_loop(
-        chunk_cond, chunk,
-        (jnp.asarray(0, jnp.int32), x, z, y, Ax, it0,
-         jnp.asarray(False)))
+    if stop_at_eps:
+        def chunk_cond(carry):
+            c, _, _, _, _, _, all_cv = carry
+            return (c < n_chunks) & ~all_cv
+
+        def chunk(carry):
+            c, x, z, y, Ax, it_conv, _ = carry
+            x, z, y, Ax, it_conv, cv = chunk_work(c, x, z, y, Ax, it_conv)
+            return c + 1, x, z, y, Ax, it_conv, jnp.all(cv)
+
+        _, x, z, y, Ax, it_conv, _ = jax.lax.while_loop(
+            chunk_cond, chunk,
+            (jnp.asarray(0, jnp.int32), x, z, y, Ax, it0,
+             jnp.asarray(False)))
+    else:
+        def chunk(c, carry):
+            x, z, y, Ax, it_conv = carry
+            x, z, y, Ax, it_conv, _ = chunk_work(c, x, z, y, Ax, it_conv)
+            return x, z, y, Ax, it_conv
+
+        x, z, y, Ax, it_conv = jax.lax.fori_loop(
+            0, n_chunks, chunk, (x, z, y, Ax, it0))
     x_ref[...] = x
     y_ref[...] = y
     z_ref[...] = z
@@ -482,26 +499,41 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
 
     n_chunks = -(-n_iters // check_every)
 
-    # same optional whole-batch early exit as the kernel (there per tile)
-    def chunk_cond(carry):
-        c, _, _, _, _, _, all_cv = carry
-        return (c < n_chunks) & ~(all_cv & stop_at_eps)
+    # same optional whole-batch early exit as the kernel (there per
+    # tile); the default path keeps the static fori_loop (see _kernel)
+    it0 = jnp.full((B,), float(n_iters), f32)
 
-    def chunk(carry):
-        c, x, z, y, Ax, it_conv, _ = carry
+    def chunk_work(c, x, z, y, Ax, it_conv):
         hi = jnp.minimum((c + 1) * check_every, n_iters)
         x, z, y, Ax = jax.lax.fori_loop(c * check_every, hi, it,
                                         (x, z, y, Ax))
         _, _, cv = residual_test(x, z, y, Ax)
         it_conv = jnp.minimum(
             it_conv, jnp.where(cv, hi.astype(f32), float(n_iters)))
-        return c + 1, x, z, y, Ax, it_conv, jnp.all(cv)
+        return x, z, y, Ax, it_conv, cv
 
-    it0 = jnp.full((B,), float(n_iters), f32)
-    _, x, z, y, Ax, it_conv, _ = jax.lax.while_loop(
-        chunk_cond, chunk,
-        (jnp.asarray(0, jnp.int32), x, z, y, Ax, it0,
-         jnp.asarray(False)))
+    if stop_at_eps:
+        def chunk_cond(carry):
+            c, _, _, _, _, _, all_cv = carry
+            return (c < n_chunks) & ~all_cv
+
+        def chunk(carry):
+            c, x, z, y, Ax, it_conv, _ = carry
+            x, z, y, Ax, it_conv, cv = chunk_work(c, x, z, y, Ax, it_conv)
+            return c + 1, x, z, y, Ax, it_conv, jnp.all(cv)
+
+        _, x, z, y, Ax, it_conv, _ = jax.lax.while_loop(
+            chunk_cond, chunk,
+            (jnp.asarray(0, jnp.int32), x, z, y, Ax, it0,
+             jnp.asarray(False)))
+    else:
+        def chunk(c, carry):
+            x, z, y, Ax, it_conv = carry
+            x, z, y, Ax, it_conv, _ = chunk_work(c, x, z, y, Ax, it_conv)
+            return x, z, y, Ax, it_conv
+
+        x, z, y, Ax, it_conv = jax.lax.fori_loop(
+            0, n_chunks, chunk, (x, z, y, Ax, it0))
     pri, dua, conv = residual_test(x, z, y, Ax)
     return PhaseQPResult(x=x, y=y, z=z, pri_res=pri, dua_res=dua,
                          converged=conv,
