@@ -17,6 +17,14 @@ minutes of XLA CPU compile at n=18). Measured on v5e at B=1024:
 All functions take the matrix order from the trailing static shape and
 broadcast over arbitrary leading batch dims; intended for small n
 (keep n <= ~32 — larger orders amortize fine on the LAPACK path).
+
+PRECONDITIONS (unchecked, branch-free): `inv3` requires nonsingular
+inputs and the Cholesky-based routines require SPD inputs — a singular
+matrix divides by a zero determinant/pivot and a non-SPD one takes
+sqrt of a negative, both yielding silent NaNs (the same failure class
+as the jnp.linalg paths these replace). Callers own the structural
+guarantee — e.g. leg Jacobians away from kinematic singularities, CRBA
+mass matrices, ADMM KKT systems with sigma/rho regularization.
 """
 
 from __future__ import annotations

@@ -437,7 +437,14 @@ def solve_ref(q, BlS, data: PhaseQPData, phase_of_problem, x0=None,
               stop_at_eps: bool = False):
     """Pure-XLA reference implementation (same math, no pallas): for
     tests and CPU fallbacks. phase_of_problem (B,) int (numpy or
-    traced)."""
+    traced).
+
+    stop_at_eps caveat: the early exit here is WHOLE-BATCH (jnp.all
+    over B) while the pallas kernel exits per tile, so for batches
+    with mixed convergence the two paths run different iteration
+    counts (and thus produce slightly different trailing iterates).
+    Exact iters/solution parity between solve and solve_ref under
+    stop_at_eps holds only when the batch is one tile wide."""
     n, B = q.shape
     m = data.A.shape[0]
     cap = n // 3

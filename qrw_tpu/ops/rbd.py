@@ -74,13 +74,6 @@ def _np_skew(v):
     return np.array([[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]])
 
 
-def _axis_rot(axis, q):
-    """Rotation of angle q about a unit axis (Rodrigues)."""
-    c, s = jnp.cos(q), jnp.sin(q)
-    K = skew(axis)
-    return jnp.eye(3, dtype=K.dtype) + s * K + (1.0 - c) * (K @ K)
-
-
 def _cast_model(model: JaxModel, dtype) -> JaxModel:
     """Cast model constants to the computation dtype — under x64 the
     stored arrays are f64, which would silently promote f32 states."""
