@@ -195,12 +195,17 @@ def phase_durations(state: GaitState, value: float, dt_mpc: float) -> PhaseInfo:
     """
     cur, des, past = state.current, state.desired, state.past
     n = cur.shape[0]
-    nz_c = _row_nonzero(cur)
-    nz_d = _row_nonzero(des)
-    nz_p = _row_nonzero(past)
-    mc = nz_c[:, None] & (cur == value)   # row usable & matches
-    md = nz_d[:, None] & (des == value)
-    mp = nz_p[:, None] & (past == value)
+    # Prefix lengths: the gait matrices keep their nonzero rows as a
+    # contiguous prefix (an all-zero row terminates the used window —
+    # the invariant all the reference's while-loops rely on,
+    # src/Gait.cpp:142-185; make_gait/roll_gait preserve it), so "row
+    # usable" is idx < prefix_len — a broadcast compare instead of a
+    # per-element gather (the gather dominated the fleet tick profile).
+    idx = jnp.arange(n)
+    n_cur = _prefix_len(cur)
+    mc = (idx < n_cur)[:, None] & (cur == value)   # row usable & matches
+    md = (idx < _prefix_len(des))[:, None] & (des == value)
+    mp = (idx < _prefix_len(past))[:, None] & (past == value)
 
     # F[i] = number of consecutive matching rows at i+1, i+2, ... (current)
     F = [jnp.zeros((4,), dtype=jnp.int32) for _ in range(n)]
@@ -213,8 +218,9 @@ def phase_durations(state: GaitState, value: float, dt_mpc: float) -> PhaseInfo:
     run_p = jnp.sum(jnp.cumprod(mp.astype(jnp.int32), axis=0), axis=0)
 
     # did the forward scan stop on an empty row (vs a value mismatch)?
-    end_idx = jnp.arange(n)[:, None] + 1 + F
-    hit_end = (end_idx >= n) | ~nz_c[jnp.clip(end_idx, 0, n - 1)]
+    # end row >= prefix length <=> the row there is empty or off the end
+    end_idx = idx[:, None] + 1 + F
+    hit_end = end_idx >= n_cur
     remaining = 1 + F + jnp.where(hit_end, run_d[None, :], 0)
 
     # B[i] = number of consecutive matching rows at i-1, i-2, ... (current)

@@ -89,6 +89,7 @@ class WBCResult(NamedTuple):
     feet_pos: jnp.ndarray  # (4, 3) foot positions at the IK joint config
     feet_vel: jnp.ndarray  # (4, 3) foot velocities (base frame)
     state: WBCState
+    qp_iters: jnp.ndarray  # () ADMM iterations of the box QP
 
 
 def compute_wbc(cfg: Config, model: rbd.JaxModel, state: WBCState,
@@ -178,7 +179,7 @@ def _compute_wbc(cfg, model, state, qj, b_v18, f_cmd, contacts,
     return WBCResult(qdes=qj + q_step, vdes=dq_cmd, tau_ff=tau_ff,
                      f_with_delta=f_with_delta,
                      ddq_cmd=ddq_final, feet_pos=kin.pos, feet_vel=kin.vel,
-                     state=new_state)
+                     state=new_state, qp_iters=sol.iters)
 
 
 # Prime the constant eagerly (outside any trace) at import time.
