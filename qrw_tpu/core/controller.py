@@ -334,25 +334,27 @@ def compute(ctl: Controller, state: ControllerState, device: DeviceData,
                         planner_target, return_telemetry=return_telemetry)
 
 
-def compute_post(ctl: Controller, state: ControllerState, pre: PreMPC,
-                 k, x_f_mpc, x_f_next, mpc_state, planner_target,
-                 return_telemetry: bool = False):
-    """Second half of a control tick: WBC target assembly, frame
-    transforms, whole-body controller, security check, state update
-    (scripts/Controller.py:258-330,341-365). x_f_mpc is the plan the WBC
-    consumes this tick — the internal lax.cond result in `compute`, or
-    the lane-major batched solve's per-scenario slice in the fleet
-    driver (sim/fleet.py)."""
+class WBCInputs(NamedTuple):
+    """Assembled whole-body-controller inputs of one tick — the cut
+    point between the batch-major glue and the (possibly lane-major)
+    WBC in the fleet driver (sim/fleet.py)."""
+    qj: jnp.ndarray          # (12,) reference joint positions
+    b_v: jnp.ndarray         # (18,)
+    f_cmd: jnp.ndarray       # (12,)
+    contacts: jnp.ndarray    # (4,)
+    feet_p_cmd: jnp.ndarray  # (3, 4)
+    feet_v_cmd: jnp.ndarray  # (3, 4)
+    feet_a_cmd: jnp.ndarray  # (3, 4)
+
+
+def wbc_inputs(ctl: Controller, state: ControllerState, pre: PreMPC,
+               x_f_mpc) -> WBCInputs:
+    """WBC target assembly + base-frame foot references
+    (scripts/Controller.py:258-296)."""
     cfg = ctl.cfg
-    model = ctl.model
     dtype = state.q.dtype
-    k = jnp.asarray(k)
-    k_mpc = cfg.k_mpc
-    est, v_ref, xref = pre.est, pre.v_ref, pre.xref
-    gait, fs_state, ft_state = pre.gait, pre.fs_state, pre.ft_state
-    q, v, h_v, yaw_estim = pre.q, pre.v, pre.h_v, pre.yaw_estim
+    v_ref, xref, ft_state = pre.v_ref, pre.xref, pre.ft_state
     oRh, oTh = pre.oRh, pre.oTh
-    fsteps = pre.fsteps
 
     # ---- WBC target assembly (scripts/Controller.py:258-269) -------------
     x_f_wbc = x_f_mpc[:, 0]
@@ -380,13 +382,43 @@ def compute_post(ctl: Controller, state: ControllerState, pre: PreMPC,
                            jnp.asarray(cfg.h_ref, dtype)])
     feet_p_cmd = oRh.T @ (ft_state.position - h_ref_vec[:, None]
                           - oTh[:, None])
+    b_v = jnp.concatenate([v_ref[0:6], state.vdes])
+    return WBCInputs(qj=state.qdes, b_v=b_v, f_cmd=x_f_wbc[12:24],
+                     contacts=pre.gait.current[0],
+                     feet_p_cmd=feet_p_cmd, feet_v_cmd=feet_v_cmd,
+                     feet_a_cmd=feet_a_cmd)
+
+
+def compute_post(ctl: Controller, state: ControllerState, pre: PreMPC,
+                 k, x_f_mpc, x_f_next, mpc_state, planner_target,
+                 return_telemetry: bool = False, wbc_res=None):
+    """Second half of a control tick: WBC target assembly, frame
+    transforms, whole-body controller, security check, state update
+    (scripts/Controller.py:258-330,341-365). x_f_mpc is the plan the WBC
+    consumes this tick — the internal lax.cond result in `compute`, or
+    the lane-major batched solve's per-scenario slice in the fleet
+    driver (sim/fleet.py). `wbc_res`: optional precomputed WBCResult for
+    the exact `wbc_inputs(...)` of this tick (the fleet's lane-major WBC
+    path); None runs the per-robot WBC here."""
+    cfg = ctl.cfg
+    dtype = state.q.dtype
+    k = jnp.asarray(k)
+    k_mpc = cfg.k_mpc
+    est, xref = pre.est, pre.xref
+    gait, fs_state, ft_state = pre.gait, pre.fs_state, pre.ft_state
+    q, v, h_v, yaw_estim = pre.q, pre.v, pre.h_v, pre.yaw_estim
+    fsteps = pre.fsteps
+
+    inp = wbc_inputs(ctl, state, pre, x_f_mpc)
+    feet_p_cmd, feet_v_cmd = inp.feet_p_cmd, inp.feet_v_cmd
+    feet_a_cmd = inp.feet_a_cmd
 
     # ---- whole-body controller -------------------------------------------
-    b_v = jnp.concatenate([v_ref[0:6], state.vdes])
-    wbc_res = wbc_mod.compute_wbc(
-        cfg, model, state.wbc, state.qdes, b_v, x_f_wbc[12:24],
-        gait.current[0], feet_p_cmd, feet_v_cmd, feet_a_cmd,
-        ctl.wbc_settings)
+    if wbc_res is None:
+        wbc_res = wbc_mod.compute_wbc(
+            cfg, ctl.model, state.wbc, inp.qj, inp.b_v, inp.f_cmd,
+            inp.contacts, feet_p_cmd, feet_v_cmd, feet_a_cmd,
+            ctl.wbc_settings)
 
     # ---- security check (scripts/Controller.py:341-365) -------------------
     q_sec = jnp.asarray(np.tile(np.asarray(Config().q_security), 4), dtype)

@@ -253,6 +253,31 @@ def to_lane(model: JaxModel) -> LaneModel:
     )
 
 
+def solo12_lane() -> LaneModel:
+    """The Solo-12 LaneModel (cached). Safe to call inside a jit trace:
+    built from pure numpy (jnp arrays created mid-trace become tracers
+    and cannot fold into LaneModel constants)."""
+    global _SOLO12_LANE
+    if _SOLO12_LANE is None:
+        from qrw_tpu.models.solo12 import make_solo12
+        from qrw_tpu.ops.rbd import _np_skew
+        m = make_solo12()
+        cx = np.stack([_np_skew(c) for c in m.com])
+        inertia_o = m.inertia - m.mass[:, None, None] * (cx @ cx)
+        np_model = JaxModel(
+            parent=tuple(int(p) for p in m.parent),
+            joint_axis=m.joint_axis, joint_pos=m.joint_pos,
+            mass=m.mass, com=m.com, inertia_o=inertia_o,
+            foot_body=tuple(int(b) for b in m.foot_body),
+            foot_pos=m.foot_pos, shoulders=m.shoulders,
+            imu_offset=m.imu_offset)
+        _SOLO12_LANE = to_lane(np_model)
+    return _SOLO12_LANE
+
+
+_SOLO12_LANE: Optional[LaneModel] = None
+
+
 def _np_col(a):
     """(4,) numpy constant -> broadcastable against (4, B) lanes."""
     return a[:, None]

@@ -181,13 +181,33 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
         lambda s, d, v, k: compute_pre(ctl, s, d, k, v, 0,
                                        perfect_estimator),
         in_axes=(0, 0, 0, None))
-    vmap_post = jax.vmap(
-        lambda s, p, xf, k: compute_post(ctl, s, p, k, xf, xf, s.mpc,
-                                         s.planner_target),
-        in_axes=(0, 0, 0, None))
-    vmap_sim = jax.vmap(
-        lambda ss, r, fe: step(cfg, ctl.model, ss, r.P, r.D, r.q_des,
-                               r.v_des, r.tau_ff, f_ext=fe))
+    # post: batch-major glue under vmap, ONE lane-major WBC dispatch
+    # for the whole fleet between (core/wbc_lane)
+    from qrw_tpu.core.controller import wbc_inputs
+    from qrw_tpu.core.wbc_lane import compute_wbc_lane
+    vmap_wbc_in = jax.vmap(
+        lambda s, p, xf: wbc_inputs(ctl, s, p, xf))
+    vmap_finalize = jax.vmap(
+        lambda s, p, xf, k, wr: compute_post(
+            ctl, s, p, k, xf, xf, s.mpc, s.planner_target, wbc_res=wr),
+        in_axes=(0, 0, 0, None, 0))
+
+    def vmap_post(cs2, pre2, x_f_b2, k2):
+        inp = vmap_wbc_in(cs2, pre2, x_f_b2)
+        wbc_b = compute_wbc_lane(
+            cfg, lane_model, cs2.wbc, inp.qj, inp.b_v, inp.f_cmd,
+            inp.contacts, inp.feet_p_cmd, inp.feet_v_cmd,
+            inp.feet_a_cmd)
+        return vmap_finalize(cs2, pre2, x_f_b2, k2, wbc_b)
+    # lane-major physics: one batch-on-lanes dispatch for the whole
+    # fleet (sim/physics_lane) instead of vmap-of-small-ops
+    from qrw_tpu.ops.rbd_lane import solo12_lane
+    from qrw_tpu.sim.physics_lane import step_lane
+    lane_model = solo12_lane()
+    vmap_sim = (
+        lambda ss, r, fe: step_lane(cfg, lane_model, ss, r.P, r.D,
+                                    r.q_des, r.v_des, r.tau_ff,
+                                    f_ext=fe))
 
     def held_tick(cs, ss, dev, k, vr, fe):
         """One tick consuming the held plan (no MPC solve)."""
