@@ -375,10 +375,12 @@ def run_fleet_bench(args, cfg, report):
         B, tile, n_cycles, rescue = 4, 1, 2, 2
         use_ref = interpret = True
     else:
-        # tile=512: 4 lane-passes pipeline the MXU inside each kernel
-        # step (same tuning as the standalone phase chain); measured
-        # 97.7k -> 146.3k ticks/s vs tile=128 at B=1024
-        B, tile, n_cycles, rescue = 1024, 512, 10, 32
+        # tile=128 + in-kernel OSQP termination (stop_at_eps, the fleet
+        # default): with the lane-major physics/WBC pipeline the MPC
+        # kernel is the dominant stage, and early exit at the
+        # reference's own solve-to-tolerance semantics beats wide
+        # always-300-iteration tiles (530k vs 500k ticks/s at B=1024)
+        B, tile, n_cycles, rescue = 1024, 128, 10, 32
         use_ref = interpret = False
     ps = ml.build_phase_data(cfg, ml.trot_phase_fsteps(cfg))
     ctl, carry = fl.make_fleet(cfg, B, ps, tile=tile, seed=0)
@@ -404,11 +406,60 @@ def run_fleet_bench(args, cfg, report):
     report["fleet_mpc_conv"] = round(conv, 4)
     report["fleet_error_frac"] = round(err, 4)
     report["fleet_compile_s"] = round(t_compile, 1)
+    # >= 1.0 means every robot in the fleet runs at or above the 500 Hz
+    # real-time contract (src/config_solo12.yaml:6)
+    report["fleet_realtime_factor"] = round(
+        (B * n_ticks / dt) / (B * 500.0), 3)
     print(f"closed-loop fleet ({B} scenarios, phase solver in the "
-          f"graph): {B * n_ticks / dt:.0f} ticks/s aggregate, "
+          f"graph): {B * n_ticks / dt:.0f} ticks/s aggregate "
+          f"({report['fleet_realtime_factor']:.2f}x real time/robot), "
           f"{B * n_cycles / dt:.0f} in-loop MPC solves/s, conv "
           f"{conv:.4f}, error frac {err:.4f} (compile {t_compile:.0f}s)",
           file=sys.stderr)
+
+
+def run_ddp_bench(args, cfg, report):
+    """Batched iLQR (DDP backend) solves/s — BASELINE config #4, the
+    Crocoddyl-variant MPC (scripts/crocoddyl_class/MPC_crocoddyl.py:
+    184-214). Same (xref, fsteps) population as the QP chain; one
+    warm-started vmapped solve per 50 Hz cycle."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.core import mpc_ddp
+
+    B = 4 if args.smoke else 1024
+    n_cycles = 2 if args.smoke else 10
+    rng = np.random.default_rng(11)
+    xr_np, fs_np = build_batch(cfg, B, rng)
+    xr = jnp.asarray(xr_np)
+    fs = jnp.asarray(fs_np)
+    st0 = jax.vmap(lambda _: mpc_ddp.init_ddp_state(cfg))(
+        jnp.arange(B))
+
+    def cycle(st, _):
+        res = jax.vmap(
+            lambda x, f, s: mpc_ddp.solve_mpc_ddp(cfg, x, f, s))(
+            xr, fs, st)
+        return res.state, res.x_f_applied[:, 12:, 0]
+
+    run = jax.jit(lambda s: jax.lax.scan(cycle, s, None,
+                                         length=n_cycles))
+    t0 = time.perf_counter()
+    st, forces = run(st0)
+    jax.block_until_ready(forces)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    st, forces = run(st)
+    jax.block_until_ready(forces)
+    dt = time.perf_counter() - t0
+    fz = float(jnp.mean(jnp.sum(
+        forces[-1].reshape(B, 4, 3)[:, :, 2], axis=1)))
+    report["ddp_solves_per_s"] = round(B * n_cycles / dt, 1)
+    report["ddp_batch"] = B
+    report["ddp_mean_total_fz_N"] = round(fz, 2)
+    print(f"DDP (batched iLQR) backend: {B * n_cycles / dt:.0f} "
+          f"solves/s at B={B} (warm scan; mean total fz {fz:.1f} N; "
+          f"compile {t_compile:.0f}s)", file=sys.stderr)
 
 
 def main():
@@ -568,6 +619,10 @@ def main():
         except Exception as e:
             print(f"closed-loop fleet bench skipped: {e!r}",
                   file=sys.stderr)
+        try:
+            run_ddp_bench(args, cfg, report)
+        except Exception as e:
+            print(f"DDP backend bench skipped: {e!r}", file=sys.stderr)
 
     # ---- speed-of-light analysis (BASELINE.md: "rollout + QP kernel
     # speed-of-light per chip"). Work model of one warm solve:

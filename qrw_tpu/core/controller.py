@@ -190,9 +190,10 @@ class PreMPC(NamedTuple):
 
 def compute_pre(ctl: Controller, state: ControllerState,
                 device: DeviceData, k, v_ref6=None, joystick_code=0,
-                perfect_estimator: bool = False) -> PreMPC:
+                perfect_estimator: bool = False, est_fk=None) -> PreMPC:
     """First half of a control tick: everything up to (and producing)
-    the MPC inputs (scripts/Controller.py:200-244)."""
+    the MPC inputs (scripts/Controller.py:200-244). est_fk: optional
+    precomputed estimator FK (core/estimator.run_filter's `fk`)."""
     cfg = ctl.cfg
     model = ctl.model
     dtype = state.q.dtype
@@ -207,7 +208,7 @@ def compute_pre(ctl: Controller, state: ControllerState,
     # ---- estimator --------------------------------------------------------
     est = run_filter(cfg, model, state.estimator, k, state.gait.current,
                      device, state.foot_traj.position,
-                     perfect=perfect_estimator)
+                     perfect=perfect_estimator, fk=est_fk)
 
     # ---- hybrid state update (Controller.updateState) ---------------------
     cy, sy = jnp.cos(state.yaw_estim), jnp.sin(state.yaw_estim)

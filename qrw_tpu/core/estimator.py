@@ -97,11 +97,15 @@ def init_estimator_state(cfg: Config, h_init: float,
 
 def run_filter(cfg: Config, model: rbd.JaxModel, state: EstimatorState,
                k, gait_current, device: DeviceData, goals,
-               perfect: bool = False) -> EstimatorOutput:
+               perfect: bool = False, fk=None) -> EstimatorOutput:
     """One estimator tick (Estimator.run_filter, scripts/Estimator.py:466).
 
     gait_current: (N_gait, 4) current gait matrix; goals: (3, 4) foot
     target positions on the ground (for the mean-feet offset).
+    fk: optional precomputed (pos (4, 3), vel (4, 3)) fixed-base foot
+    kinematics at (device.q_mes, device.v_mes) — the fleet driver
+    computes them for all scenarios in one lane-major dispatch
+    (ops/rbd_lane) and injects them here; None runs the per-robot FK.
     """
     dtype = device.q_mes.dtype
     k = jnp.asarray(k)
@@ -122,20 +126,24 @@ def run_filter(cfg: Config, model: rbd.JaxModel, state: EstimatorState,
     ksc = (state.k_since_contact + feet_status) * feet_status
 
     # ---- forward kinematics (fixed-base, identity orientation) -------------
-    kin = rbd.frame_kinematics(model, jnp.zeros(3, dtype),
-                               jnp.asarray([0., 0., 0., 1.], dtype),
-                               device.q_mes, jnp.zeros(6, dtype),
-                               device.v_mes)
+    if fk is None:
+        kin = rbd.frame_kinematics(model, jnp.zeros(3, dtype),
+                                   jnp.asarray([0., 0., 0., 1.], dtype),
+                                   device.q_mes, jnp.zeros(6, dtype),
+                                   device.v_mes)
+        fk_pos, fk_vel = kin.pos, kin.vel
+    else:
+        fk_pos, fk_vel = fk
     # per-foot base velocity: (p_foot x omega) - v_foot (base frame)
-    vel_feet = (jnp.cross(kin.pos, device.base_ang_vel[None, :])
-                - kin.vel)                                      # (4, 3)
+    vel_feet = (jnp.cross(fk_pos, device.base_ang_vel[None, :])
+                - fk_vel)                                       # (4, 3)
     # rolling-radius correction on vx (front: HFE-KFE, hind: HFE+KFE)
     vmes = device.v_mes.reshape(4, 3)
     sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0], dtype)
     vel_feet = vel_feet.at[:, 0].add(
         cfg.foot_radius * (vmes[:, 1] + sign * vmes[:, 2]))
     # per-foot base position (world-aligned via IMU orientation)
-    xyz_feet = -jnp.einsum("ab,fb->fa", oRb, kin.pos)           # (4, 3)
+    xyz_feet = -jnp.einsum("ab,fb->fa", oRb, fk_pos)            # (4, 3)
 
     trust = (feet_status > 0) & (ksc >= cfg.contact_security_ticks)
     cnt = jnp.sum(trust.astype(dtype))
@@ -172,7 +180,7 @@ def run_filter(cfg: Config, model: rbd.JaxModel, state: EstimatorState,
     if cfg.kf_enabled:
         # ---- 18-state Kalman filter (scripts/Estimator.py:554-580) --------
         kf, filt_lin_pos, b_filt_vel = kf18_step(
-            cfg, state.kf, oRb, o_acc, kin.pos, feet_status,
+            cfg, state.kf, oRb, o_acc, fk_pos, feet_status,
             device.base_ang_vel)
         hp_vel, lp_vel = state.hp_vel, state.lp_vel
         hp_pos, lp_pos = state.hp_pos, state.lp_pos

@@ -138,7 +138,7 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
                   v_ref_schedule=None, f_ext_schedule=None,
                   perfect_estimator: bool = True,
                   use_ref: bool = False, interpret: bool = False,
-                  with_logs: bool = True, stop_at_eps: bool = False
+                  with_logs: bool = True, stop_at_eps: bool = True
                   ) -> Tuple[FleetCarry, Optional[FleetLog],
                              FleetCycleLog]:
     """Run `n_cycles` MPC cycles (n_cycles * k_mpc ticks) of the fleet.
@@ -147,6 +147,10 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
     per-scenario commands (default: the cfg.velID profile).
     f_ext_schedule: optional (n_ticks, B, 3) world-frame base forces.
     use_ref=True runs the pure-XLA solver path (tile must be 1).
+    stop_at_eps=True (default) lets each kernel tile exit at the OSQP
+    termination test instead of running all n_iters — the reference's
+    own solve-to-tolerance semantics (src/MPC.cpp:527-540), and ~15%
+    fleet throughput.
     Returns (carry, FleetLog | None, FleetCycleLog); resumable — call
     again with the returned carry to continue (the straggler-injection
     test drives one crippled cycle in between)."""
@@ -177,10 +181,22 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
                 v_ref_profile(k, cfg.velID, dtype)[None, :], (B, 6))
         return v_slice
 
-    vmap_pre = jax.vmap(
-        lambda s, d, v, k: compute_pre(ctl, s, d, k, v, 0,
-                                       perfect_estimator),
-        in_axes=(0, 0, 0, None))
+    vmap_pre_fk = jax.vmap(
+        lambda s, d, v, k, fk: compute_pre(ctl, s, d, k, v, 0,
+                                           perfect_estimator, est_fk=fk),
+        in_axes=(0, 0, 0, None, 0))
+
+    def vmap_pre(cs2, dev2, vr2, k2):
+        """compute_pre for the fleet with the estimator FK hoisted into
+        one lane-major dispatch (ops/rbd_lane) shared by all scenarios."""
+        import qrw_tpu.ops.rbd_lane as rl
+        qm = jnp.transpose(dev2.q_mes.reshape(B, 4, 3), (1, 2, 0))
+        vm = jnp.transpose(dev2.v_mes.reshape(B, 4, 3), (1, 2, 0))
+        kin = rl.frame_kinematics(lane_model, rl.ZV3, rl.EYE3, qm,
+                                  None, vm)
+        pos = jnp.stack([jnp.transpose(p) for p in kin.pos], axis=2)
+        vel = jnp.stack([jnp.transpose(p) for p in kin.vel], axis=2)
+        return vmap_pre_fk(cs2, dev2, vr2, k2, (pos, vel))
     # post: batch-major glue under vmap, ONE lane-major WBC dispatch
     # for the whole fleet between (core/wbc_lane)
     from qrw_tpu.core.controller import wbc_inputs

@@ -207,3 +207,25 @@ def test_all_gaits_stand_at_default_timing():
         bp = np.asarray(logs.base_pos)
         assert abs(bp[-1, 2] - cfg.h_ref) < 0.05, (gait, bp[-1])
         assert not bool(np.asarray(logs.error).any()), gait
+
+
+def test_walk_walks_forward():
+    """The 4-phase walk WALKS closed-loop (not just stands): a ramped
+    0.3 m/s forward command produces sustained forward progress at the
+    reference timing (4-phase constructor, src/Gait.cpp:38-57), upright,
+    with no security latch."""
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+    ctl, carry = make_rollout(gait="walk", dtype=jnp.float64)
+    T = 2000
+    t = np.arange(T)
+    vx = np.clip((t - 300) / 700.0, 0.0, 1.0) * 0.3
+    sched = np.zeros((T, 6)); sched[:, 0] = vx
+    carry2, logs = jax.jit(lambda c: rollout(
+        ctl, c, T, v_ref_schedule=jnp.asarray(sched)))(carry)
+    bp = np.asarray(logs.base_pos)
+    assert bp[-1, 0] > 0.5, f"walked only {bp[-1, 0]:.3f} m"
+    assert abs(bp[-1, 2] - ctl.cfg.h_ref) < 0.05
+    assert not bool(np.asarray(logs.error).any())
+    # forward progress is sustained, not a lunge: the last quarter of
+    # the run still advances
+    assert bp[-1, 0] - bp[3 * T // 4, 0] > 0.1
