@@ -418,6 +418,67 @@ def run_fleet_bench(args, cfg, report):
           file=sys.stderr)
 
 
+def run_hetero_bench(args, cfg, report):
+    """BASELINE config #5 — the mixed-scenario sweep: 4096 parallel
+    closed-loop rollouts over gaits {trot, walk, bounding} (per kernel
+    tile) x predefined velocity profiles velID 0..6 x terrains
+    {flat, bumpy, stairs} (use_flat_plane=False / envID=1 worlds,
+    scripts/PyBulletSimulator.py:36-175), REAL estimator in the loop.
+    Reports aggregate ticks/s, in-loop MPC convergence, and the upright
+    fraction overall / per gait / per terrain."""
+    import jax
+    import jax.numpy as jnp
+    from qrw_tpu.sim import fleet as fl
+
+    if args.smoke:
+        B, tile, n_cycles, rescue = 12, 1, 2, 2
+    else:
+        B, tile, n_cycles, rescue = 4096, 128, 10, 128
+    ctl, carry, ps, terrain, meta = fl.make_hetero_fleet(
+        cfg, B, tile=tile)
+    # compile+warmup on cycles [0, C), time the CONTINUATION [C, 2C)
+    # with its own slice of the velocity schedules
+    sched2 = fl.hetero_v_ref_schedule(cfg, meta.velID,
+                                      2 * n_cycles * cfg.k_mpc)
+    run = jax.jit(lambda c, s: fl.fleet_rollout(
+        ctl, c, n_cycles, ps, tile=tile, rescue_cap=rescue,
+        terrain=terrain, phase_offsets=meta.phase_offsets,
+        phase_periods=meta.phase_periods, perfect_estimator=False,
+        v_ref_schedule=s, with_logs=False,
+        use_ref=args.smoke, interpret=args.smoke))
+    t0 = time.perf_counter()
+    c2, _, cyc = run(carry, sched2[:n_cycles * cfg.k_mpc])
+    jax.block_until_ready(c2)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c2, _, cyc = run(c2, sched2[n_cycles * cfg.k_mpc:])
+    jax.block_until_ready(c2)
+    dt = time.perf_counter() - t0
+    n_ticks = n_cycles * cfg.k_mpc
+    z = np.asarray(c2.sim_states.q[:, 2])
+    up = z > 0.15
+    conv = float(jnp.mean(cyc.converged.astype(jnp.float32)))
+    report["hetero_batch"] = B
+    report["hetero_ticks_per_s"] = round(B * n_ticks / dt, 1)
+    report["hetero_mpc_conv"] = round(conv, 4)
+    report["hetero_upright_frac"] = round(float(up.mean()), 4)
+    scen_gait = np.repeat(meta.tile_gait, tile)
+    for g, name in enumerate(meta.gait_names):
+        report[f"hetero_upright_{name}"] = round(
+            float(up[scen_gait == g].mean()), 4)
+    for t, name in enumerate(["flat", "bumpy", "stairs"]):
+        report[f"hetero_upright_{name}"] = round(
+            float(up[meta.tid == t].mean()), 4)
+    report["hetero_error_frac"] = round(
+        float(np.asarray(c2.ctl_states.error).mean()), 4)
+    print(f"heterogeneous fleet (B={B}: "
+          f"{'x'.join(meta.gait_names)} x velID0-6 x "
+          f"flat/bumpy/stairs, real estimator): "
+          f"{B * n_ticks / dt:.0f} ticks/s, conv {conv:.3f}, upright "
+          f"{up.mean():.3f} (compile {t_compile:.0f}s)",
+          file=sys.stderr)
+
+
 def run_ddp_bench(args, cfg, report):
     """Batched iLQR (DDP backend) solves/s — BASELINE config #4, the
     Crocoddyl-variant MPC (scripts/crocoddyl_class/MPC_crocoddyl.py:
@@ -618,6 +679,11 @@ def main():
             run_fleet_bench(args, cfg, report)
         except Exception as e:
             print(f"closed-loop fleet bench skipped: {e!r}",
+                  file=sys.stderr)
+        try:
+            run_hetero_bench(args, cfg, report)
+        except Exception as e:
+            print(f"heterogeneous fleet bench skipped: {e!r}",
                   file=sys.stderr)
         try:
             run_ddp_bench(args, cfg, report)

@@ -83,6 +83,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(sim/fleet.py — the production fleet loop; "
                         "--batch by contrast vmaps the per-problem "
                         "solver)")
+    p.add_argument("--hetero", type=int, default=0, metavar="B",
+                   help="HETEROGENEOUS closed-loop fleet: B scenarios "
+                        "over gaits {trot,walk,bounding} (per tile) x "
+                        "velocity profiles velID 0-6 x terrains "
+                        "{flat,bumpy,stairs}, real estimator in the "
+                        "loop (the reference's mixed-world sweep, "
+                        "scripts/PyBulletSimulator.py:36-175)")
     p.add_argument("--rescue", type=int, default=None,
                    help="rescue-stage capacity for --fleet "
                         "(default B/32)")
@@ -131,6 +138,54 @@ def _run_fleet(args, cfg, dtype):
           f"{int(err[-1].sum())}/{B}; final height "
           f"mean {h[-1].mean():.4f} min {h[-1].min():.4f}")
     return 0 if not err[-1].any() else 1
+
+
+def _run_hetero(args, cfg):
+    """Heterogeneous closed-loop fleet (sim/fleet.make_hetero_fleet)."""
+    import jax
+    import numpy as np
+
+    from qrw_tpu.sim import fleet as fl
+
+    on_cpu = all(d.platform == "cpu" for d in jax.devices())
+    tile = 1 if on_cpu else 128
+    B = max(args.hetero, 3 * tile)
+    B = (B // tile) * tile
+    ctl, carry, ps, terrain, meta = fl.make_hetero_fleet(
+        cfg, B, tile=tile, seed=args.seed)
+    n_cycles = max(1, cfg.N_SIMULATION // cfg.k_mpc)
+    rescue = args.rescue if args.rescue is not None else max(4, B // 32)
+    sched = fl.hetero_v_ref_schedule(cfg, meta.velID,
+                                     n_cycles * cfg.k_mpc)
+    run = jax.jit(lambda c, s: fl.fleet_rollout(
+        ctl, c, n_cycles, ps, tile=tile, rescue_cap=rescue,
+        terrain=terrain, phase_offsets=meta.phase_offsets,
+        phase_periods=meta.phase_periods, perfect_estimator=False,
+        v_ref_schedule=s, with_logs=False, use_ref=on_cpu,
+        interpret=on_cpu))
+    t0 = time.perf_counter()
+    c2, _, cyc = run(carry, sched)
+    jax.block_until_ready(c2)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c2, _, cyc = run(carry, sched)      # timed repeat from the init
+    jax.block_until_ready(c2)
+    wall = time.perf_counter() - t0
+    n_ticks = n_cycles * cfg.k_mpc
+    z = np.asarray(c2.sim_states.q[:, 2])
+    up = z > 0.15
+    conv = float(np.asarray(cyc.converged).mean())
+    scen_gait = np.repeat(meta.tile_gait, tile)
+    per_gait = " ".join(
+        f"{meta.gait_names[g]} {up[scen_gait == g].mean():.2f}"
+        for g in range(len(meta.gait_names)))
+    per_ter = " ".join(
+        f"{n} {up[meta.tid == t].mean():.2f}"
+        for t, n in enumerate(["flat", "bumpy", "stairs"]))
+    print(f"hetero fleet: {B} scenarios x {n_ticks} ticks in "
+          f"{wall:.2f}s ({B * n_ticks / wall:.0f} ticks/s; compile "
+          f"{t_compile:.0f}s); MPC conv {conv:.4f}; upright "
+          f"{up.mean():.3f} [{per_gait} | {per_ter}]")
 
 
 def _run_fleet_mpc(args, cfg):
@@ -251,6 +306,8 @@ def main(argv=None) -> int:
         return _run_fleet_mpc(args, cfg)
     if args.fleet:
         return _run_fleet(args, cfg, dtype)
+    if args.hetero:
+        return _run_hetero(args, cfg)
 
     if args.host_loop:
         return _run_host_loop(args, cfg, dtype)

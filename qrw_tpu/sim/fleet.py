@@ -138,7 +138,8 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
                   v_ref_schedule=None, f_ext_schedule=None,
                   perfect_estimator: bool = True,
                   use_ref: bool = False, interpret: bool = False,
-                  with_logs: bool = True, stop_at_eps: bool = True
+                  with_logs: bool = True, stop_at_eps: bool = True,
+                  terrain=None, phase_offsets=None, phase_periods=None
                   ) -> Tuple[FleetCarry, Optional[FleetLog],
                              FleetCycleLog]:
     """Run `n_cycles` MPC cycles (n_cycles * k_mpc ticks) of the fleet.
@@ -151,6 +152,13 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
     termination test instead of running all n_iters — the reference's
     own solve-to-tolerance semantics (src/MPC.cpp:527-540), and ~15%
     fleet throughput.
+    terrain: optional sim.terrain.Terrain (shared) or FleetTerrain
+    (per-scenario) height field for the lane physics.
+    phase_offsets / phase_periods: optional (B // tile,) int32 arrays
+    for HETEROGENEOUS fleets whose union phase set concatenates several
+    gaits' cyclic classes: tile t's phase rotates within
+    [offset_t, offset_t + period_t) as offset + (p - offset - 1) % period
+    (make_hetero_fleet builds them). Default: one cyclic set of size P.
     Returns (carry, FleetLog | None, FleetCycleLog); resumable — call
     again with the returned carry to continue (the straggler-injection
     test drives one crippled cycle in between)."""
@@ -223,7 +231,7 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
     vmap_sim = (
         lambda ss, r, fe: step_lane(cfg, lane_model, ss, r.P, r.D,
                                     r.q_des, r.v_des, r.tau_ff,
-                                    f_ext=fe))
+                                    f_ext=fe, terrain=terrain))
 
     def held_tick(cs, ss, dev, k, vr, fe):
         """One tick consuming the held plan (no MPC solve)."""
@@ -272,9 +280,15 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
         (cs, ss, dev), logs_r = lax.scan(tick, (cs, ss, dev),
                                          (dks, v_rest, fe_slice[1:]))
 
+        if phase_offsets is None:
+            next_phase = (phases - 1) % P
+        else:
+            offs = jnp.asarray(phase_offsets, jnp.int32)
+            pers = jnp.asarray(phase_periods, jnp.int32)
+            next_phase = offs + (phases - offs - 1) % pers
         new_c = FleetCarry(ctl_states=cs, sim_states=ss, devices=dev,
                            lane_state=lane_st,
-                           tile_phase=(phases - 1) % P, cycle=c.cycle)
+                           tile_phase=next_phase, cycle=c.cycle)
         logs = (jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0),
             log0, logs_r) if with_logs else None)
@@ -295,3 +309,149 @@ def fleet_rollout(ctl: Controller, carry: FleetCarry, n_cycles: int,
         logs = jax.tree.map(
             lambda a: a.reshape((n_ticks,) + a.shape[2:]), logs)
     return carry2, logs, cyc_logs
+
+
+# ----------------------------------------------------------------------
+# Heterogeneous fleet: gaits x velocity profiles x terrain
+# ----------------------------------------------------------------------
+
+class HeteroMeta(NamedTuple):
+    """Static description of a heterogeneous fleet (make_hetero_fleet):
+    the BASELINE mixed-scenario sweep — scenarios spread over gaits
+    (per kernel tile: tiles are phase-homogeneous), predefined velocity
+    profiles, and terrains (flat / bumpy / stairs, the reference's
+    use_flat_plane=False and envID=1 worlds,
+    scripts/PyBulletSimulator.py:36-175)."""
+    gait_names: tuple          # gait per tile-gait index
+    tile_gait: np.ndarray      # (n_tiles,) index into gait_names
+    velID: np.ndarray          # (B,) predefined-profile id per scenario
+    tid: np.ndarray            # (B,) terrain id (0 flat/1 bumpy/2 stairs)
+    phase_offsets: np.ndarray  # (n_tiles,) union-set offset per tile
+    phase_periods: np.ndarray  # (n_tiles,) cyclic period per tile
+
+
+def make_hetero_fleet(cfg: Config, batch: int, tile: int = 128,
+                      gaits=("trot", "walk", "bounding"),
+                      velIDs=(0, 1, 2, 3, 4, 5, 6),
+                      terrain_ids=(0, 1, 2), seed: int = 0,
+                      dtype=jnp.float32, perturb_q: float = 0.01,
+                      perturb_v: float = 0.02):
+    """Build a heterogeneous fleet: returns
+    (ctl, carry, ps, terrain, meta).
+
+    Gaits are assigned per kernel tile (tiles must share the gait phase;
+    the union phase set concatenates each gait's cyclic classes and the
+    per-tile rotation stays inside its gait's range). Velocity profiles
+    and terrains are assigned per scenario round-robin, so every tile
+    mixes velIDs and terrains. Run with:
+        fleet_rollout(ctl, carry, C, ps, tile=tile, terrain=terrain,
+                      phase_offsets=meta.phase_offsets,
+                      phase_periods=meta.phase_periods,
+                      perfect_estimator=False,
+                      v_ref_schedule=hetero_v_ref_schedule(...))
+    (the REAL estimator: its FK-relative base height is what makes the
+    h_ref regulation terrain-relative, like the reference's own loop)."""
+    from qrw_tpu.core import gait as gait_mod
+    from qrw_tpu.sim.terrain import (FleetTerrain, height_at,
+                                     make_bumpy, make_stairs)
+    assert batch % tile == 0
+    n_tiles = batch // tile
+    N = cfg.n_steps
+
+    # ---- union phase set with per-gait offsets ------------------------
+    sets = [ml.gait_phase_fsteps(cfg, g) for g in gaits]
+    offs, lens = [], []
+    off = 0
+    seen = set()
+    for s in sets:
+        for fs in np.asarray(s):
+            key = (fs[:N, 0::3] != 0).tobytes()
+            assert key not in seen, \
+                "gait phase classes overlap; offsets would be ambiguous"
+            seen.add(key)
+        offs.append(off)
+        lens.append(len(s))
+        off += len(s)
+    union = np.concatenate([np.asarray(s) for s in sets], axis=0)
+    ps = ml.build_phase_data(cfg, union)
+
+    # ---- per-tile gait / per-scenario velID + terrain -----------------
+    tile_gait = np.arange(n_tiles) % len(gaits)
+    scen_gait = np.repeat(tile_gait, tile)             # (B,)
+    velID = np.asarray([velIDs[b % len(velIDs)] for b in range(batch)])
+    tid = np.asarray([terrain_ids[(b // len(velIDs)) % len(terrain_ids)]
+                      for b in range(batch)])
+    phase_offsets = np.asarray([offs[g] for g in tile_gait], np.int32)
+    phase_periods = np.asarray([lens[g] for g in tile_gait], np.int32)
+
+    terrain = FleetTerrain(
+        tid=jnp.asarray(tid, jnp.int32),
+        terrains=(make_bumpy(dtype=dtype), make_stairs(dtype=dtype)))
+
+    # ---- controller states: per-gait init, gathered per scenario ------
+    ctl = make_controller(cfg)
+    cs_per_gait = [init_state(ctl, dtype, gait=g) for g in gaits]
+    gidx = jnp.asarray(scen_gait)
+    cs_b = jax.tree.map(
+        lambda *xs: jnp.stack(xs)[gidx], *cs_per_gait)
+
+    # ---- sim states: settle each scenario onto ITS terrain ------------
+    from qrw_tpu.models.solo12 import make_solo12
+    ss0 = init_sim_state(cfg, dtype=dtype)
+    ss_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), ss0)
+    sh = jnp.asarray(make_solo12().shoulders[0:2].T, dtype)   # (4, 2)
+    z_off = np.zeros(batch, np.float32)
+    for i, t in enumerate(terrain.terrains):
+        h = float(jnp.max(height_at(t, sh)))
+        z_off[tid == i + 1] = h
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    ss_b = ss_b._replace(
+        q=ss_b.q.at[:, 2].add(jnp.asarray(z_off, dtype))
+        .at[:, 7:].add(perturb_q * jax.random.normal(k1, (batch, 12),
+                                                     dtype)),
+        v=ss_b.v.at[:, 0:3].add(
+            perturb_v * jax.random.normal(k2, (batch, 3), dtype)))
+    dev_b = jax.vmap(_device_from_sim)(ss_b)
+
+    # ---- initial phase per tile -----------------------------------------
+    # The controller rolls the gait at k=0 before the planner consumes
+    # it (core/gait.update_gait with k % k_mpc == 0), so the tick-0 MPC
+    # support is the ROLLED gait matrix's window.
+    tile_phase = np.zeros(n_tiles, np.int32)
+    for t in range(n_tiles):
+        g = tile_gait[t]
+        rolled = gait_mod.roll_gait(gait_mod.make_gait(cfg, gaits[g]))
+        sup = (np.asarray(rolled.current)[:N] != 0).reshape(-1)
+        rng_s = ps.supports[offs[g]:offs[g] + lens[g]]
+        m = np.where((rng_s == sup).all(axis=1))[0]
+        assert m.size, f"tile {t}: initial {gaits[g]} support not in set"
+        tile_phase[t] = offs[g] + int(m[0])
+
+    carry = FleetCarry(
+        ctl_states=cs_b, sim_states=ss_b, devices=dev_b,
+        lane_state=ml.init_lane_state(cfg, batch),
+        tile_phase=jnp.asarray(tile_phase), cycle=jnp.zeros((), jnp.int32))
+    meta = HeteroMeta(gait_names=tuple(gaits), tile_gait=tile_gait,
+                      velID=velID, tid=tid,
+                      phase_offsets=phase_offsets,
+                      phase_periods=phase_periods)
+    return ctl, carry, ps, terrain, meta
+
+
+def hetero_v_ref_schedule(cfg: Config, velID: np.ndarray, n_ticks: int,
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """(n_ticks, B, 6) velocity commands: each scenario follows ITS
+    predefined profile (scripts/Joystick.py:160-239)."""
+    from qrw_tpu.core.joystick import v_ref_profile
+    ks = jnp.arange(n_ticks)
+    uniq = sorted(set(int(v) for v in velID))
+    tables = {}
+    for vid in uniq:
+        tables[vid] = jax.vmap(
+            lambda k: v_ref_profile(k, vid, dtype))(ks)  # noqa: B023
+    stack = jnp.stack([tables[vid] for vid in uniq])     # (U, T, 6)
+    lut = {vid: i for i, vid in enumerate(uniq)}
+    sel = jnp.asarray([lut[int(v)] for v in velID])      # (B,)
+    return jnp.transpose(stack[sel], (1, 0, 2))          # (T, B, 6)

@@ -36,10 +36,27 @@ class Terrain(NamedTuple):
     origin: jnp.ndarray    # (2,) world xy of heights[0, 0]
 
 
-def height_at(terrain: Optional[Terrain], xy):
-    """Bilinear ground height at world xy (..., 2); 0 when terrain is None."""
+class FleetTerrain(NamedTuple):
+    """Per-scenario terrain for a heterogeneous fleet: scenario b runs
+    on `terrains[tid[b] - 1]` (tid 0 = flat plane). Lookup evaluates
+    each member terrain once for the whole batch and selects by id —
+    lane-friendly (no per-scenario grid gathers beyond the member
+    terrains' own bilinear fetches)."""
+    tid: jnp.ndarray       # (B,) int32: 0 flat, i >= 1 -> terrains[i-1]
+    terrains: tuple        # static tuple of Terrain
+
+
+def height_at(terrain, xy):
+    """Bilinear ground height at world xy (..., 2); 0 when terrain is
+    None. For FleetTerrain, xy's second-to-last axis... any shape whose
+    LAST batch axis is B (e.g. (4, B, 2)) broadcasts against tid (B,)."""
     if terrain is None:
         return jnp.zeros(xy.shape[:-1], xy.dtype)
+    if isinstance(terrain, FleetTerrain):
+        h = jnp.zeros(xy.shape[:-1], xy.dtype)
+        for i, t in enumerate(terrain.terrains):
+            h = jnp.where(terrain.tid == i + 1, height_at(t, xy), h)
+        return h
     hmap = terrain.heights
     H, W = hmap.shape
     g = (xy - terrain.origin) / terrain.cell
