@@ -142,8 +142,12 @@ def run_phase_mode(args, cfg, report):
         return jnp.repeat(fs_t, tile, axis=0).transpose(1, 2, 0)
 
     from qrw_tpu.ops import qp as qp_mod
+    # max_iter 200: with the warm-started early-exit rescue (stale-
+    # carry start + carried per-lane rho), 200 is the smallest budget
+    # at which the chain's steady-state conv stays 1.0000 (150 leaves
+    # 0.03% stragglers); measured 133.9k vs 126.9k at the r4 settings
     rescue_lean = qp_mod.QPSettings(
-        eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
+        eps_abs=1e-4, eps_rel=1e-4, max_iter=200,
         adaptive_rho_interval=100, scaling_iters=2)
 
     def rolled_chain(x0, st, keys, ph0, rcap, see=False):

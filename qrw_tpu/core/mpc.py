@@ -410,7 +410,8 @@ def solve_mpc_batch_reduced(cfg: Config, xrefs: jnp.ndarray,
                             settings: Optional["qp.QPSettings"] = None,
                             schedule=None, tile: int = 64,
                             shift: bool = False, cap: int = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            early_exit: bool = False):
     """Batched MPC solve on the SUPPORT-REDUCED QP (swing-force
     variables eliminated — see support_indices) via the fused Pallas
     ADMM kernel. The production throughput path.
@@ -467,7 +468,8 @@ def solve_mpc_batch_reduced(cfg: Config, xrefs: jnp.ndarray,
             schedule = [50]
     sol = qp_pallas.solve(H_r, q_r, A_r, l_r, u_r, settings, tile=tile,
                           schedule=schedule, cone=cone,
-                          interpret=interpret, **kw)
+                          interpret=interpret, early_exit=early_exit,
+                          **kw)
 
     x_m = sol.x * vm3
     zeros_f = jnp.zeros((B, 12 * N), dtype)

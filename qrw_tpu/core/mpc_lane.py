@@ -397,15 +397,21 @@ def build_phase_data(cfg: Config, phase_fsteps: np.ndarray,
 class MPCLaneState(NamedTuple):
     """Warm carry in the full (step, foot) layout, lane-major: robust
     to support changes across cycles (the next cycle re-extracts at its
-    own phase maps)."""
+    own phase maps). rrho is the RESCUE stage's adapted per-lane rho
+    (osqp keeps its workspace rho between solves): lanes that need the
+    per-problem rescue every cycle re-enter it at their adapted rho and
+    re-converge in the first (early-exit) round instead of re-running
+    the whole adaptation ladder from 0.1."""
     f: jnp.ndarray          # (4N, 3, B) forces
     y: jnp.ndarray          # (4N, 5, B) cone-row duals
+    rrho: Optional[jnp.ndarray] = None   # (B,) rescue rho carry
 
 
 def init_lane_state(cfg: Config, batch: int) -> MPCLaneState:
     N4 = 4 * cfg.n_steps
     return MPCLaneState(f=jnp.zeros((N4, 3, batch), f32),
-                        y=jnp.zeros((N4, 5, batch), f32))
+                        y=jnp.zeros((N4, 5, batch), f32),
+                        rrho=jnp.full((batch,), 0.1, f32))
 
 
 def shift_lane_state(state: MPCLaneState, n_steps: int) -> MPCLaneState:
@@ -420,7 +426,8 @@ def shift_lane_state(state: MPCLaneState, n_steps: int) -> MPCLaneState:
     def roll(a):
         r = jnp.roll(a.reshape(n_steps, 4, *a.shape[1:]), -1, axis=0)
         return r.at[-1].set(0.0).reshape(a.shape)
-    return MPCLaneState(f=roll(state.f), y=roll(state.y))
+    return MPCLaneState(f=roll(state.f), y=roll(state.y),
+                        rrho=state.rrho)
 
 
 def _is_static_phases(phases_of) -> bool:
@@ -444,18 +451,21 @@ def _tile_oh2(ps: PhaseStructure, phases_of, tile: int):
 def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
                          sol, rescue_cap: int, rescue_settings,
                          interpret: bool, c_scale: float = 1.0,
-                         qp_cap: int = None):
-    """Second-stage rescue: re-solve up to rescue_cap failed lanes cold
+                         qp_cap: int = None, warm_state=None):
+    """Second-stage rescue: re-solve up to rescue_cap failed lanes
     through the per-problem support-reduced Cholesky path. Returns the
     patched (f_full, y_full, sol) with rescued lanes marked converged.
 
     The rescue batch is gathered batch-major (the reduced path's native
-    layout); per-lane cost is one Ruiz + one (3cap)^3 Cholesky + the
-    ADMM schedule — at rescue_cap ~ B/32 this is a few percent of the
-    phase kernel's cycle time. Lanes are selected by a stable argsort on
-    the failure mask, so with fewer failures than capacity the tail
-    slots re-solve already-converged lanes and are masked out of the
-    patch."""
+    layout). When `warm_state` (the SHIFTED lane carry) is given, the
+    rescue warm-starts each lane from its stale rolled plan and the
+    solver's cross-round early exit makes first-round convergence pay
+    for 50 iterations only — zero-carry lanes (cold restart after
+    repeated failures) still get the full schedule, preserving the
+    cold-rescue contract at a fraction of the old always-450-iteration
+    cost. Lanes are selected by a stable argsort on the failure mask,
+    so with fewer failures than capacity the tail slots re-solve
+    already-converged lanes and are masked out of the patch."""
     import jax
     from qrw_tpu.core import mpc as mpc_mod
     N = cfg.n_steps
@@ -469,16 +479,46 @@ def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
 
     def do_rescue(args):
         f_full, y_full = args
-        order = jnp.argsort(jnp.where(bad, 0, 1), stable=True)[:R]
+        if warm_state is not None:
+            # failed lanes WITH a live stale carry first (they warm-
+            # start and clear in the first round), cold-restart lanes
+            # second, already-converged padding last
+            has_carry = jnp.any(
+                jnp.abs(warm_state.f) > 0.0, axis=(0, 1))   # (B,)
+            rank = jnp.where(bad & has_carry, 0,
+                             jnp.where(bad, 1, 2))
+        else:
+            rank = jnp.where(bad, 0, 1)
+        order = jnp.argsort(rank, stable=True)[:R]
         sel_bad = bad[order]                                # (R,)
         xb = xrefs.astype(f32)[:, :, order] \
             .transpose(2, 0, 1)                             # (R,12,N+1)
         fb = fsteps.astype(f32)[:, :, order].transpose(2, 0, 1)
         r_tile = R if R <= 64 else 64
+        wkw = {}
+        if warm_state is not None:
+            # stale rolled plan (phase-layout carry) -> reduced-path
+            # warm start; duals back to physical units (y_phase =
+            # c_scale * y_physical). Rounds after the first early-exit
+            # once every gathered lane meets tolerance.
+            f_w = warm_state.f[:, :, order].transpose(2, 0, 1) \
+                .reshape(R, 12 * N)
+            y_w = warm_state.y[:, :, order].transpose(2, 0, 1) \
+                .reshape(R, 20 * N) / c_scale
+            rho_w = (warm_state.rrho[order, None]
+                     if warm_state.rrho is not None
+                     else jnp.full((R, 1), rescue_settings.rho, f32))
+            mi = rescue_settings.max_iter
+            sched = [min(50, mi)]
+            while sum(sched) < mi:
+                sched.append(min(max(100, mi // 3), mi - sum(sched)))
+            wkw = dict(
+                state=mpc_mod.MPCWarmState(f=f_w, y=y_w, rho=rho_w),
+                schedule=sched, early_exit=True)
         _, st_r, sol_r, ok_r = mpc_mod.solve_mpc_batch_reduced(
             cfg, xb, fb, settings=rescue_settings, tile=r_tile,
             cap=(2 * N if qp_cap is None else qp_cap),
-            interpret=interpret)
+            interpret=interpret, **wkw)
         good = sel_bad & sol_r.converged & ok_r             # (R,)
         f_r = st_r.f.reshape(R, 4 * N, 3).transpose(1, 2, 0)
         # the reduced path's duals are in PHYSICAL units; the phase
@@ -493,11 +533,21 @@ def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
             jnp.where(g3, y_r, y_full[:, :, order]))
         conv = sol.converged.at[order].set(
             sol.converged[order] | good)
-        return f_full2, y_full2, conv
+        # carry the rescue's adapted rho for the gathered BAD lanes
+        # (osqp workspace-rho semantics across solves)
+        rrho = (warm_state.rrho if warm_state is not None
+                and warm_state.rrho is not None
+                else jnp.full((B,), rescue_settings.rho, f32))
+        rrho2 = rrho.at[order].set(
+            jnp.where(sel_bad, sol_r.rho[:, 0], rrho[order]))
+        return f_full2, y_full2, conv, rrho2
 
     def no_rescue(args):
         f_full, y_full = args
-        return f_full, y_full, sol.converged
+        rrho = (warm_state.rrho if warm_state is not None
+                and warm_state.rrho is not None
+                else jnp.full((B,), rescue_settings.rho, f32))
+        return f_full, y_full, sol.converged, rrho
 
     # The rescue only executes on cycles with failures: in steady state
     # (conv == 1.0, the measured fleet norm) the cond skips the whole
@@ -505,9 +555,9 @@ def _rescue_failed_lanes(cfg: Config, xrefs, fsteps, f_full, y_full,
     # ~0 amortized in steady state, the full reduced-solve price only
     # during cold-start / post-disturbance transients.
     import jax
-    f_full, y_full, conv = jax.lax.cond(
+    f_full, y_full, conv, rrho = jax.lax.cond(
         jnp.any(bad), do_rescue, no_rescue, (f_full, y_full))
-    return f_full, y_full, sol._replace(converged=conv)
+    return f_full, y_full, sol._replace(converged=conv), rrho
 
 
 def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
@@ -616,10 +666,16 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
                                                                B)
 
     # second stage: per-problem reduced re-solve of failed lanes
+    # (rrho is always materialized so scanned carries keep one pytree
+    # structure whether or not a given call runs the rescue)
+    rrho_out = (state.rrho if state is not None
+                and state.rrho is not None
+                else jnp.full((B,), 0.1, f32))
     if rescue_cap:
-        f_full, y_full, sol = _rescue_failed_lanes(
+        f_full, y_full, sol, rrho_out = _rescue_failed_lanes(
             cfg, xrefs, fsteps, f_full, y_full, sol, rescue_cap,
-            rescue_settings, interpret, c_scale=d.c_scale, qp_cap=cap)
+            rescue_settings, interpret, c_scale=d.c_scale, qp_cap=cap,
+            warm_state=state)
 
     # Divergence handling (the safeguard box in ops/qp_phase bounds the
     # rare non-convergent lanes instead of NaN): a failed lane SHIPS ITS
@@ -645,5 +701,5 @@ def solve_mpc_batch_phase(cfg: Config, xrefs, fsteps, ps: PhaseStructure,
     forces = f_full.reshape(N, 12, B).transpose(1, 0, 2)
     x_f = jnp.concatenate([states, forces], axis=0)  # (24, N, B)
 
-    new_state = MPCLaneState(f=f_carry, y=y_carry)
+    new_state = MPCLaneState(f=f_carry, y=y_carry, rrho=rrho_out)
     return x_f, new_state, sol

@@ -370,7 +370,8 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
           x0=None, y0=None, tile: int = 16, schedule=None,
           cone: qp.ConeStructure = None, precond=None, rho_init=None,
           kinv_init=None, kinv_rho=None, refactor: str = "ns",
-          interpret: bool = False) -> PallasQPResult:
+          interpret: bool = False,
+          early_exit: bool = False) -> PallasQPResult:
     """Batched QP solve with the fused Pallas ADMM kernel.
 
     P (B, n, n); q (B, n); A (m, n) SHARED across the batch; l/u (B, m).
@@ -387,6 +388,12 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
     diagonal preconditioner is algorithmically exact (termination is
     evaluated unscaled), so this trades nothing but conditioning slack.
     `rho_init` (B, 1) carries the adapted rho from a previous solve.
+
+    `early_exit` wraps every round after the first in lax.cond on
+    "any problem still unconverged": a warm-started batch that meets
+    the OSQP tolerances in round one pays for one round only (the
+    rescue stage's policy — its warm lanes converge in the first round
+    and the later rounds exist for cold-restart lanes).
 
     `refactor` controls how K^-1 is obtained when kinv_init is given:
       "ns"    guarded Newton-Schulz refinement + Cholesky fallback;
@@ -455,11 +462,9 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
     nrm_q = jnp.max(jnp.abs(q), axis=1)
 
     iters = jnp.zeros((B,), jnp.int32)
-    pri = dua = z = None
     conv = jnp.zeros((B,), bool)
-    Kinv = None
-    kinv_at = None
-    for r, n_iters in enumerate(schedule):
+
+    def run_round(r, n_iters, x, y, rho, conv, iters):
         rho_vec = rho_to_vec(rho)
         with jax.default_matmul_precision("highest"):
             K = _build_K(P, A, rho_vec, sig_vec, cone)
@@ -486,16 +491,15 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
                 Kinv = _factor(K, kinv_init=kinv_init if use_seed
                                else None, seed_scale=seed_scale,
                                interpret=interpret)
-            kinv_at = rho
-        x, y, z, pri, dua, n1, n2 = _run_kernel(
+        x2, y2, z, pri, dua, n1, n2 = _run_kernel(
             Kinv, P, A, q, l, u, rho_vec, sig_vec, x, y,
             s.alpha, n_iters, tile, interpret,
             K=K if stale else None)
         prev_conv = conv
         eps_p = s.eps_abs + s.eps_rel * n1
         eps_d = s.eps_abs + s.eps_rel * jnp.maximum(n2, nrm_q)
-        conv = conv | ((pri <= eps_p) & (dua <= eps_d))
-        iters = iters + jnp.where(prev_conv, 0, n_iters)
+        conv2 = conv | ((pri <= eps_p) & (dua <= eps_d))
+        iters2 = iters + jnp.where(prev_conv, 0, n_iters)
         if r + 1 < len(schedule):
             # osqp compute_rho_estimate from the kernel's norms. NOT
             # applied after the final round: a rho change between
@@ -510,10 +514,39 @@ def solve(P, q, A, l, u, settings: qp.QPSettings = qp.QPSettings(),
             scale = jnp.sqrt(ratio)[:, None]
             want = ((scale > s.adaptive_rho_tolerance)
                     | (scale < 1.0 / s.adaptive_rho_tolerance))
-            want = want & ~conv[:, None]
-            rho = jnp.where(
+            want = want & ~conv2[:, None]
+            rho2 = jnp.where(
                 want, jnp.clip(rho * scale, qp.RHO_MIN, qp.RHO_MAX),
                 rho)
+        else:
+            rho2 = rho
+        # last element: the rho this round's factor was computed at
+        # (the kinv_rho carry semantics for NS-warm chains)
+        return (x2, y2, z, pri, dua, conv2, iters2, rho2, Kinv, rho)
+
+    z = pri = dua = None
+    Kinv_out = None
+    kinv_at = None
+    for r, n_iters in enumerate(schedule):
+        if early_exit and r > 0:
+            # skip whole rounds (factor + kernel) once every problem
+            # meets the OSQP tolerances — the warm-start fast path
+            def round_fn(args, _r=r, _n=n_iters):
+                x, y, rho, conv, iters = args
+                return run_round(_r, _n, x, y, rho, conv, iters)
+
+            def skip_fn(args, _z=z, _p=pri, _d=dua, _K=Kinv_out,
+                        _ka=kinv_at):
+                x, y, rho, conv, iters = args
+                return (x, y, _z, _p, _d, conv, iters, rho, _K, _ka)
+
+            (x, y, z, pri, dua, conv, iters, rho, Kinv_out,
+             kinv_at) = jax.lax.cond(jnp.all(conv), skip_fn, round_fn,
+                                     (x, y, rho, conv, iters))
+        else:
+            (x, y, z, pri, dua, conv, iters, rho, Kinv_out,
+             kinv_at) = run_round(r, n_iters, x, y, rho, conv, iters)
     return PallasQPResult(x=x, y=y, z=z, iters=iters, pri_res=pri,
                           dua_res=dua, converged=conv, rho=rho,
-                          precond=(D, E, c), kinv=Kinv, kinv_rho=kinv_at)
+                          precond=(D, E, c), kinv=Kinv_out,
+                          kinv_rho=kinv_at)
