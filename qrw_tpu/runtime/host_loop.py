@@ -135,3 +135,88 @@ def _damping_shutdown(device: SimDevice, cfg: Config,
         device.SendCommand(WaitEndOfCycle=False)
     device.SetDesiredJointPDgains(np.zeros(12), np.zeros(12))
     device.SendCommand(WaitEndOfCycle=False)
+
+
+class PipelinedLoopResult(NamedTuple):
+    n_ticks: int
+    error: bool
+    depth: int
+    periods_ms: np.ndarray   # (n,) wall time between command applies
+    q_log: np.ndarray        # (n, 19)
+
+
+def run_host_loop_pipelined(cfg: Optional[Config] = None,
+                            n_ticks: int = 500,
+                            device: Optional[SimDevice] = None,
+                            gait: str = "trot", depth: int = 2,
+                            dtype=jnp.float32) -> PipelinedLoopResult:
+    """Double-buffered host dispatch: the deployment-shape loop when the
+    accelerator sits behind a link with non-trivial round-trip time.
+
+    The plain host loop (run_host_loop) serializes
+    measure -> dispatch -> FETCH -> apply, so every tick pays a full
+    link round trip (scripts/main_solo12_control.py:180-242 has the
+    same shape against the masterboard). This loop keeps `depth` ticks
+    in flight: tick k is dispatched asynchronously with the freshest
+    measurement, its outputs start copying host-ward immediately, and
+    the command APPLIED at tick k is the result of tick k-depth — whose
+    transfer has had `depth` periods to complete. Commands are
+    depth-tick stale, exactly the reference's own async-MPC staleness
+    contract (scripts/MPC_Wrapper.py:89-103) applied at the WBC rate.
+    The effective period is then max(compute, RTT/depth-ish) instead of
+    compute + RTT; the bench reports its p50/p99."""
+    import time as _time
+    from collections import deque
+
+    cfg = cfg if cfg is not None else Config()
+    if device is None:
+        device = SimDevice(cfg, dtype=dtype)
+        device.Init(q_init=cfg.q_init)
+    ctl = make_controller(cfg)
+    state = init_state(ctl, dtype, gait=gait)
+    tick = jax.jit(lambda s, d, k, v: compute(ctl, s, d, k, v_ref6=v))
+    from qrw_tpu.core.joystick import v_ref_profile
+
+    # precompute the whole command profile host-side: the loop then
+    # ships one small array per tick instead of dispatching profile ops
+    sched = np.stack([np.asarray(v_ref_profile(k, cfg.velID, dtype))
+                      for k in range(n_ticks)])
+
+    inflight = deque()
+    periods = []
+    q_log = np.zeros((n_ticks, 19))
+    error = False
+    t_last = None
+    applied = 0
+    for k in range(n_ticks + depth):
+        if k < n_ticks:
+            device.UpdateMeasurment()
+            state, result = tick(state, device.device_data,
+                                 jnp.asarray(k, jnp.int32),
+                                 jnp.asarray(sched[k]))
+            # start the host-ward copies NOW; they arrive while later
+            # ticks dispatch/compute
+            for leaf in result:
+                leaf.copy_to_host_async()
+            inflight.append(result)
+        if len(inflight) > depth or k >= n_ticks:
+            if not inflight:
+                break
+            res = inflight.popleft()
+            res_np = jax.tree.map(np.asarray, res)
+            device.SetDesiredJointPDgains(res_np.P, res_np.D)
+            device.SetDesiredJointPosition(res_np.q_des)
+            device.SetDesiredJointVelocity(res_np.v_des)
+            device.SetDesiredJointTorque(res_np.tau_ff)
+            device.SendCommand(WaitEndOfCycle=False)
+            now = _time.perf_counter()
+            if t_last is not None:
+                periods.append((now - t_last) * 1e3)
+            t_last = now
+            q_log[applied] = np.asarray(device.sim_state.q)
+            applied += 1
+    error = bool(np.asarray(jax.device_get(state.error)))
+    device.Stop()
+    return PipelinedLoopResult(
+        n_ticks=applied, error=error, depth=depth,
+        periods_ms=np.asarray(periods), q_log=q_log[:applied])

@@ -78,3 +78,18 @@ def test_cli_fleet_mpc(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "fleet MPC service" in out and "conv" in out
+
+
+def test_pipelined_host_loop_stays_upright_and_reports_periods():
+    """Double-buffered host dispatch (runtime/host_loop
+    .run_host_loop_pipelined): commands are depth-tick stale (the
+    reference's async staleness contract) and the robot still stands;
+    the effective-period log is well-formed."""
+    from qrw_tpu.runtime.host_loop import run_host_loop_pipelined
+    r = run_host_loop_pipelined(n_ticks=120, depth=2)
+    assert r.n_ticks == 120
+    assert not r.error
+    assert r.periods_ms.shape[0] == 119
+    assert (r.periods_ms > 0).all()
+    # upright through the stale-command pipeline
+    assert abs(r.q_log[-1, 2] - 0.2447) < 0.05
