@@ -33,7 +33,6 @@ Phase-set coverage:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

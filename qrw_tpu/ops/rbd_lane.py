@@ -37,7 +37,7 @@ instead of an 18x18 factorization.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -47,7 +47,7 @@ from qrw_tpu.core.controller import (Controller, ControllerState,
                                      init_state, make_controller)
 from qrw_tpu.core.estimator import DeviceData
 from qrw_tpu.core.joystick import v_ref_profile
-from qrw_tpu.sim.physics import SimState, init_sim_state, step
+from qrw_tpu.sim.physics import SimState, init_sim_state
 
 
 class FleetCarry(NamedTuple):

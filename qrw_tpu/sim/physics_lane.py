@@ -21,7 +21,7 @@ tests/test_physics_lane.py.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from qrw_tpu.config import Config
 from qrw_tpu.core.estimator import DeviceData
 from qrw_tpu.ops import rbd_lane as rl
-from qrw_tpu.ops.rbd import JaxModel
 from qrw_tpu.sim.physics import SimState
 
 
