@@ -438,8 +438,10 @@ def run_hetero_bench(args, cfg, report):
         B, tile, n_cycles, rescue = 12, 1, 2, 2
     else:
         B, tile, n_cycles, rescue = 4096, 128, 10, 128
+    cal = (None if args.smoke else
+           {"bounding": fl.hetero_shakedown_capture(cfg, "bounding")})
     ctl, carry, ps, terrain, meta = fl.make_hetero_fleet(
-        cfg, B, tile=tile)
+        cfg, B, tile=tile, calibration=cal)
     # compile+warmup on cycles [0, C), time the CONTINUATION [C, 2C)
     # with its own slice of the velocity schedules
     sched2 = fl.hetero_v_ref_schedule(cfg, meta.velID,

@@ -151,8 +151,10 @@ def _run_hetero(args, cfg):
     tile = 1 if on_cpu else 128
     B = max(args.hetero, 3 * tile)
     B = (B // tile) * tile
+    cal = (None if on_cpu else
+           {"bounding": fl.hetero_shakedown_capture(cfg, "bounding")})
     ctl, carry, ps, terrain, meta = fl.make_hetero_fleet(
-        cfg, B, tile=tile, seed=args.seed)
+        cfg, B, tile=tile, seed=args.seed, calibration=cal)
     n_cycles = max(1, cfg.N_SIMULATION // cfg.k_mpc)
     rescue = args.rescue if args.rescue is not None else max(4, B // 32)
     sched = fl.hetero_v_ref_schedule(cfg, meta.velID,

@@ -335,7 +335,7 @@ def make_hetero_fleet(cfg: Config, batch: int, tile: int = 128,
                       velIDs=(0, 1, 2, 3, 4, 5, 6),
                       terrain_ids=(0, 1, 2), seed: int = 0,
                       dtype=jnp.float32, perturb_q: float = 0.01,
-                      perturb_v: float = 0.02):
+                      perturb_v: float = 0.02, calibration=None):
     """Build a heterogeneous fleet: returns
     (ctl, carry, ps, terrain, meta).
 
@@ -359,7 +359,17 @@ def make_hetero_fleet(cfg: Config, batch: int, tile: int = 128,
     N = cfg.n_steps
 
     # ---- union phase set with per-gait offsets ------------------------
-    sets = [ml.gait_phase_fsteps(cfg, g) for g in gaits]
+    # calibration: optional {gait: captured fsteps (C, N_gait, 12)} —
+    # re-centers that gait's metric footholds on its operating
+    # distribution (ml.calibrate_phase_fsteps; supports unchanged).
+    # Bounding's nominal metric converges at only ~0.66 in the mixed
+    # sweep; one hetero_shakedown_capture restores ~0.98.
+    sets = []
+    for g in gaits:
+        s = ml.gait_phase_fsteps(cfg, g)
+        if calibration and g in calibration:
+            s = ml.calibrate_phase_fsteps(cfg, s, calibration[g])
+        sets.append(s)
     offs, lens = [], []
     off = 0
     seen = set()
@@ -455,3 +465,21 @@ def hetero_v_ref_schedule(cfg: Config, velID: np.ndarray, n_ticks: int,
     lut = {vid: i for i, vid in enumerate(uniq)}
     sel = jnp.asarray([lut[int(v)] for v in velID])      # (B,)
     return jnp.transpose(stack[sel], (1, 0, 2))          # (T, B, 6)
+
+
+def hetero_shakedown_capture(cfg: Config, gait: str,
+                             v_cruise: float = 0.4,
+                             n_ticks: int = 1200) -> np.ndarray:
+    """(C, N_gait, 12) footstep matrices captured from one single-robot
+    shakedown run of `gait` ramping to v_cruise — the calibration input
+    for make_hetero_fleet (the production procedure PARITY.md describes
+    for off-nominal gaits)."""
+    from qrw_tpu.sim.rollout import make_rollout, rollout
+    ctl, carry = make_rollout(cfg, gait=gait)
+    t = np.arange(n_ticks)
+    vx = np.clip((t - 200) / 600.0, 0.0, 1.0) * v_cruise
+    sched = np.zeros((n_ticks, 6), np.float32)
+    sched[:, 0] = vx
+    _, logs = jax.jit(lambda c: rollout(
+        ctl, c, n_ticks, v_ref_schedule=jnp.asarray(sched)))(carry)
+    return np.asarray(logs.mpc_fsteps)[::cfg.k_mpc]
